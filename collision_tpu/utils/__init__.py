@@ -1,0 +1,19 @@
+from .dtypes import (
+    round_up,
+    roundUp,
+    next_power_of_2,
+    nextPowerOf2,
+    product,
+    padded_vec_width,
+    dtype_sizeof,
+)
+
+__all__ = [
+    "round_up",
+    "roundUp",
+    "next_power_of_2",
+    "nextPowerOf2",
+    "product",
+    "padded_vec_width",
+    "dtype_sizeof",
+]

@@ -1,0 +1,26 @@
+"""Test environment: JAX on CPU with 8 virtual devices and x64 enabled.
+
+The reference runs its suite on PoCL (a CPU OpenCL implementation) so the
+same tests run with or without a GPU (reference Dockerfile `cpu` stage);
+here the CPU JAX backend plays that role, and 8 virtual host devices let the
+multi-chip sharding path compile and execute without TPU hardware. x64 is
+enabled so the float64/uint64 dtype matrix from the reference tests carries
+over (TPU production paths use f32/u32).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The env var alone can be overridden by externally-registered platform
+# plugins; the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,161 @@
+"""End-to-end Collider parity tests ported from reference
+tests/test_collision_py.py: exact pair-set equality vs the O(N²) numpy
+oracle, count-only mode, overflow ValueError, padded_size goldens, resize."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from collision_tpu import Collider, collide
+from collision_tpu.testing import brute_force_collisions, pair_array_to_set
+
+
+def _random_scene(size, coord_dtype):
+    np.random.seed(4)
+    coords = np.random.random((size, 3)).astype(coord_dtype)
+    radius = 1 / (size ** 0.5)  # Keep number of collisions under control
+    radii = np.random.uniform(0, radius, size).astype(coord_dtype)
+    return coords, radii
+
+
+@pytest.mark.parametrize("size,ngroups,group_size,expected", [
+    (48, 3, 8, 48), (47, 3, 8, 48), (49, 3, 8, 64),
+])
+def test_padded_size(size, ngroups, group_size, expected):
+    # Goldens from reference tests/test_collision_py.py:40-46.
+    collider = Collider(size, ngroups, group_size, "float32")
+    assert collider.padded_size == expected
+
+
+@pytest.mark.parametrize("coord_dtype", ["float32", "float64"])
+def test_collision(coord_dtype):
+    coords = np.array([
+        [0.0, 1.0, 3.0],
+        [0.0, 1.0, 3.0],
+        [4.0, 1.0, 8.0],
+        [-4.0, -6.0, 3.0],
+        [-5.0, 0.0, -1.0],
+        [-5.0, 0.5, -0.5],
+    ], dtype=coord_dtype)
+    radii = np.ones(len(coords), dtype=coord_dtype)
+    expected = {(0, 1), (4, 5)}
+
+    collider = Collider(len(coords), 3, 8, coord_dtype)
+    count, pairs = collider.get_collisions(coords, radii, len(expected))
+    assert int(count) == len(expected)
+    assert pair_array_to_set(pairs, count) == expected
+
+
+@pytest.mark.parametrize("coord_dtype", ["float32", "float64"])
+@pytest.mark.parametrize("size,ngroups,group_size", [
+    (120, 5, 8), (256, 4, 32), (317, 4, 16), (341, 4, 64),
+])
+def test_random_collision(coord_dtype, size, ngroups, group_size):
+    collider = Collider(size, ngroups, group_size, coord_dtype)
+    coords, radii = _random_scene(size, coord_dtype)
+    expected = brute_force_collisions(coords, radii)
+
+    count, pairs = collider.get_collisions(coords, radii, len(expected))
+    assert int(count) == len(expected)
+    assert pair_array_to_set(pairs, count) == expected
+
+
+@pytest.mark.parametrize("old_shape,new_shape", [
+    ((350, 8, 64), (351, 8, 64)),
+    ((350, 8, 64), (351, None, None)),
+])
+def test_random_collision_resized(old_shape, new_shape):
+    collider = Collider(*old_shape, "float32")
+    collider.resize(*new_shape)
+
+    size = new_shape[0] or old_shape[0]
+    coords, radii = _random_scene(size, "float32")
+    expected = brute_force_collisions(coords, radii)
+
+    count, pairs = collider.get_collisions(coords, radii, len(expected))
+    assert int(count) == len(expected)
+    assert pair_array_to_set(pairs, count) == expected
+
+
+@pytest.mark.parametrize("size,ngroups,group_size", [(100, 10, 8)])
+def test_count_only(size, ngroups, group_size):
+    # Count-only mode (reference tests/test_collision_py.py:261-296).
+    collider = Collider(size, ngroups, group_size, "float32")
+    coords, radii = _random_scene(size, "float32")
+    expected = brute_force_collisions(coords, radii)
+    count = collider.get_collisions(coords, radii, 0, collisions=None)
+    assert int(count) == len(expected)
+
+
+@pytest.mark.parametrize("size,ngroups,group_size", [(100, 5, 8)])
+def test_count_err(size, ngroups, group_size):
+    # None pair request with capacity > 0 raises
+    # (reference collision.py:134-135).
+    collider = Collider(size, ngroups, group_size, "float32")
+    coords, radii = _random_scene(size, "float32")
+    with pytest.raises(ValueError):
+        collider.get_collisions(coords, radii, 10, collisions=None)
+
+
+@pytest.mark.parametrize("dt", ["float32", np.dtype("float32"),
+                                "float64", np.dtype("float64")])
+def test_collider_dtype(dt):
+    collider = Collider(100, 5, 8, coord_dtype=dt)
+    assert collider.coord_dtype == np.dtype(dt)
+
+
+def test_collider_invalid_dtype():
+    with pytest.raises(ValueError):
+        Collider(100, 5, 8, coord_dtype="uint32")
+
+
+def test_collider_shape_validation():
+    collider = Collider(10, 1, 8, "float32")
+    with pytest.raises(ValueError):
+        collider.get_collisions(np.zeros((11, 3), "float32"),
+                                np.zeros(11, "float32"), 0, collisions=None)
+
+
+def test_overflow_count_exceeds_capacity():
+    # Contract #3 (SURVEY.md §3.1): counter reports the true total even
+    # when it exceeds capacity.
+    size = 100
+    collider = Collider(size, 5, 8, "float32")
+    coords, radii = _random_scene(size, "float32")
+    expected = brute_force_collisions(coords, radii)
+    assert len(expected) > 2
+    count, pairs = collider.get_collisions(coords, radii, 2)
+    assert int(count) == len(expected)
+    assert pairs.shape == (2, 2)
+    assert pair_array_to_set(pairs, 2) <= expected
+
+
+def test_functional_collide_result():
+    coords, radii = _random_scene(64, "float32")
+    expected = brute_force_collisions(coords, radii)
+    res = collide(jnp.asarray(coords), jnp.asarray(radii), len(expected) + 8)
+    assert int(res.count) == len(expected)
+    assert pair_array_to_set(res.pairs, res.count) == expected
+    assert not bool(res.overflowed)
+    np.testing.assert_equal(np.asarray(res.scene_min), coords.min(axis=0))
+    np.testing.assert_equal(np.asarray(res.scene_max), coords.max(axis=0))
+
+
+def test_collide_count_only_mode():
+    coords, radii = _random_scene(64, "float32")
+    res = collide(jnp.asarray(coords), jnp.asarray(radii), 0)
+    assert res.pairs is None
+    assert int(res.count) == len(brute_force_collisions(coords, radii))
+
+
+def test_single_sphere():
+    res = collide(jnp.zeros((1, 3), jnp.float32), jnp.ones((1,), jnp.float32), 4)
+    assert int(res.count) == 0
+
+
+def test_two_identical_spheres():
+    coords = np.zeros((2, 3), "float32")
+    radii = np.ones(2, "float32")
+    res = collide(jnp.asarray(coords), jnp.asarray(radii), 4)
+    assert int(res.count) == 1
+    assert pair_array_to_set(res.pairs, res.count) == {(0, 1)}
