@@ -51,24 +51,32 @@ def aabb_overlap(alo, ahi, blo, bhi):
     return jnp.all((ahi > blo) & (alo < bhi), axis=-1)
 
 
-def _traverse(tree, lo, hi, on_hits, carry, stack_depth):
+def _traverse(tree, lo, hi, on_hits, carry, stack_depth, queries=None):
     """Run the lockstep traversal, folding ``on_hits`` over each step.
 
     on_hits(carry, q, hit_a, hit_b, ca, cb) -> carry, where q is the
     sorted-query-index vector and hit_a/hit_b mark queries that hit a leaf
     child this step (ca/cb are the uint32 child node ids).
+
+    ``queries`` optionally restricts the pass to a subset of sorted-leaf
+    indices (uint32[m]) — the seam the multi-chip path shards on: the tree
+    is replicated, each device traverses its own query slice.
     """
     n = tree.n_leaves
     n_int = n - 1
-    q = jnp.arange(n, dtype=jnp.uint32)
-    qlo = lo[n_int:]
-    qhi = hi[n_int:]
+    if queries is None:
+        q = jnp.arange(n, dtype=jnp.uint32)
+    else:
+        q = jnp.asarray(queries, jnp.uint32)
+    m = q.shape[0]
+    qlo = lo[n_int + q]
+    qhi = hi[n_int + q]
     left, right, redge = tree.left, tree.right, tree.right_edge
 
-    idx0 = jnp.zeros((n,), jnp.uint32)
-    stack0 = jnp.full((n, stack_depth), SENTINEL, jnp.uint32)
-    sp0 = jnp.ones((n,), jnp.int32)
-    lanes = jnp.arange(n)
+    idx0 = jnp.zeros((m,), jnp.uint32)
+    stack0 = jnp.full((m, stack_depth), SENTINEL, jnp.uint32)
+    sp0 = jnp.ones((m,), jnp.int32)
+    lanes = jnp.arange(m)
 
     def cond(state):
         idx, _, _, _ = state
@@ -115,22 +123,30 @@ def _traverse(tree, lo, hi, on_hits, carry, stack_depth):
     return carry
 
 
-def traverse_count(tree, lo, hi, stack_depth=STACK_DEPTH):
-    """Pass 1: number of pairs each query leaf will emit. Returns uint32[n]."""
+def traverse_count(tree, lo, hi, stack_depth=STACK_DEPTH, queries=None):
+    """Pass 1: number of pairs each query leaf will emit. Returns uint32[m]
+    (m = number of queries; all n leaves when ``queries`` is None)."""
     n = tree.n_leaves
+    m = n if queries is None else queries.shape[0]
     if n <= 1:
-        return jnp.zeros((n,), jnp.uint32)
+        return jnp.zeros((m,), jnp.uint32)
 
     def on_hits(counts, q, hit_a, hit_b, ca, cb):
         return counts + hit_a.astype(jnp.uint32) + hit_b.astype(jnp.uint32)
 
     return _traverse(
-        tree, lo, hi, on_hits, jnp.zeros((n,), jnp.uint32), stack_depth
+        tree, lo, hi, on_hits, jnp.zeros((m,), jnp.uint32), stack_depth,
+        queries=queries,
     )
 
 
-def traverse_fill(tree, lo, hi, offsets, capacity, stack_depth=STACK_DEPTH):
+def traverse_fill(tree, lo, hi, offsets, capacity, stack_depth=STACK_DEPTH,
+                  queries=None):
     """Pass 2: write query q's k-th pair at offsets[q] + k.
+
+    ``offsets`` is aligned with the query vector (uint32[m]) and holds each
+    query's base slot in the global pair buffer — for the sharded path these
+    are global positions even though the query slice is local.
 
     Returns uint32[capacity, 2] of (query original id, hit original id);
     unwritten slots hold NO_PAIR. Writes at or past ``capacity`` are dropped
@@ -138,12 +154,14 @@ def traverse_fill(tree, lo, hi, offsets, capacity, stack_depth=STACK_DEPTH):
     (collision.cl:203-207).
     """
     n = tree.n_leaves
+    m = n if queries is None else queries.shape[0]
     pairs0 = jnp.full((capacity, 2), NO_PAIR, jnp.uint32)
     if n <= 1 or capacity == 0:
         return pairs0
     n_int = n - 1
     leaf_id = tree.leaf_id
     offsets = offsets.astype(jnp.uint32)
+    lanes = jnp.arange(m)
 
     def emit(pairs, write_idx, valid, qid, hit_node):
         hit_leaf = jnp.clip(hit_node.astype(jnp.int32) - n_int, 0, n - 1)
@@ -155,15 +173,17 @@ def traverse_fill(tree, lo, hi, offsets, capacity, stack_depth=STACK_DEPTH):
     def on_hits(carry, q, hit_a, hit_b, ca, cb):
         pairs, k = carry
         qid = leaf_id[q]
-        pairs = emit(pairs, offsets[q] + k, hit_a, qid, ca)
+        base = offsets[lanes]
+        pairs = emit(pairs, base + k, hit_a, qid, ca)
         k = k + hit_a.astype(jnp.uint32)
-        pairs = emit(pairs, offsets[q] + k, hit_b, qid, cb)
+        pairs = emit(pairs, base + k, hit_b, qid, cb)
         k = k + hit_b.astype(jnp.uint32)
         return pairs, k
 
     pairs, _ = _traverse(
         tree, lo, hi, on_hits,
-        (pairs0, jnp.zeros((n,), jnp.uint32)), stack_depth,
+        (pairs0, jnp.zeros((m,), jnp.uint32)), stack_depth,
+        queries=queries,
     )
     return pairs
 

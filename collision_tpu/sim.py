@@ -1,0 +1,60 @@
+"""Moving-spheres simulation loop, fully on-chip.
+
+The reference has no sim loop — its README frames per-frame re-use of the
+Collider, and BASELINE.json config 5 pins the target: per-step re-sort +
+LBVH rebuild + traversal for many steps, fully jitted with no host
+round-trips. Here the whole loop is one ``lax.scan`` over the jitted collide
+step: positions integrate and reflect off the unit box, every step rebuilds
+the BVH from scratch and counts collisions, and nothing leaves the chip
+until the final (positions, per-step counts) land.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .collider import collide
+
+
+@partial(jax.jit, static_argnames=("n_steps", "capacity"))
+def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
+             capacity=0):
+    """Integrate spheres for ``n_steps``, re-colliding every step.
+
+    Args:
+      coords: [n, 3] initial centers.
+      velocities: [n, 3] velocities.
+      radii: [n] radii.
+      n_steps: static step count.
+      dt: time step.
+      lo, hi: axis-aligned box walls; spheres reflect off them.
+      capacity: 0 counts collisions per step (the sim-loop benchmark shape);
+        > 0 additionally returns the final step's pairs.
+
+    Returns:
+      (final_coords, final_velocities, counts[n_steps]) and, when
+      capacity > 0, the final step's pairs as a fourth element.
+    """
+    coords = jnp.asarray(coords)
+    velocities = jnp.asarray(velocities)
+    radii = jnp.asarray(radii)
+
+    def step(carry, _):
+        c, v = carry
+        c = c + v * dt
+        # Reflect off the walls.
+        over = c > hi
+        under = c < lo
+        c = jnp.where(over, 2 * hi - c, jnp.where(under, 2 * lo - c, c))
+        v = jnp.where(over | under, -v, v)
+        count = collide(c, radii, 0).count
+        return (c, v), count
+
+    (coords, velocities), counts = jax.lax.scan(
+        step, (coords, velocities), None, length=n_steps
+    )
+    if capacity:
+        res = collide(coords, radii, capacity)
+        return coords, velocities, counts, res.pairs
+    return coords, velocities, counts
