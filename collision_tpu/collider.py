@@ -48,12 +48,18 @@ class CollisionResult(NamedTuple):
                capacity) hold 0xFFFFFFFF.
     scene_min: [3] scene AABB lower corner (of centers).
     scene_max: [3] scene AABB upper corner.
+    ok:        bool — True unless a static capacity knob of the selected
+               method overflowed (grid cell capacity); on False the caller
+               must retry with larger knobs (the grid analog of the
+               reference's count-past-capacity retry contract). None means
+               trivially ok (BVH path has no such knob).
     """
 
     count: jax.Array
     pairs: Optional[jax.Array]
     scene_min: jax.Array
     scene_max: jax.Array
+    ok: Optional[jax.Array] = None
 
     @property
     def overflowed(self):
@@ -62,8 +68,45 @@ class CollisionResult(NamedTuple):
         return self.count > cap
 
 
-@partial(jax.jit, static_argnames=("capacity", "stack_depth"))
-def collide(coords, radii, capacity, stack_depth=STACK_DEPTH):
+#: n at or above which "auto" prefers the dense grid engine.
+GRID_AUTO_THRESHOLD = 65536
+
+#: Largest pair capacity the grid engine keeps in VMEM during its sweep.
+GRID_MAX_CAPACITY = 262144
+
+
+def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
+                  lo_scene, hi_scene):
+    """Grid-engine frame: dense binning + halo-kernel count/emit.
+
+    On TPU with float32 coords the fused Pallas halo kernel runs compiled;
+    elsewhere (CPU tests, float64) counting uses the XLA stencil and pair
+    emission falls back to the Pallas interpreter — same results, portable.
+    """
+    from .grid import build_grid, grid_count
+    from .kernels.halo import halo_pairs
+
+    on_tpu = jax.default_backend() == "tpu" and coords.dtype == jnp.float32
+
+    if capacity == 0 and not on_tpu:
+        out = grid_count(
+            coords, radii, grid_dim=grid_dim, cell_capacity=cell_capacity
+        )
+        return CollisionResult(out.total, None, lo_scene, hi_scene, ok=out.ok)
+
+    bins, ok, _ = build_grid(coords, radii, grid_dim, cell_capacity)
+    pairs, total = halo_pairs(
+        bins, grid_dim, cell_capacity, capacity, interpret=not on_tpu
+    )
+    return CollisionResult(
+        total.astype(jnp.uint32), pairs, lo_scene, hi_scene, ok=ok
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "capacity", "stack_depth", "method", "grid_dim", "cell_capacity"))
+def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
+            grid_dim=32, cell_capacity=64):
     """One fully-jitted broad-phase step.
 
     Args:
@@ -71,6 +114,13 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH):
       radii:  [n] float sphere radii.
       capacity: static pair-buffer capacity; 0 = count-only.
       stack_depth: static traversal-stack depth (reference uses 64).
+      method: "bvh" (LBVH build + lockstep traversal, the reference
+        architecture re-designed for XLA), "grid" (dense uniform-grid
+        stencil — the TPU fast path, count-only for now), or "auto"
+        (grid for large count-only workloads, BVH otherwise).
+      grid_dim, cell_capacity: static grid knobs (see grid.py); on grid
+        cell overflow the result's ``ok`` is False and the caller retries
+        with a larger ``cell_capacity``.
 
     Returns:
       :class:`CollisionResult`.
@@ -79,6 +129,13 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH):
     radii = jnp.asarray(radii)
     n = coords.shape[0]
 
+    if method == "auto":
+        method = (
+            "grid"
+            if (n >= GRID_AUTO_THRESHOLD and capacity <= GRID_MAX_CAPACITY)
+            else "bvh"
+        )
+
     lo_scene, hi_scene = scene_bounds(coords)
     if n == 1:
         zero = jnp.uint32(0)
@@ -86,6 +143,14 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH):
             jnp.full((capacity, 2), NO_NODE, jnp.uint32) if capacity else None
         )
         return CollisionResult(zero, pairs, lo_scene, hi_scene)
+
+    if method == "grid":
+        return _grid_collide(
+            coords, radii, capacity, grid_dim, cell_capacity,
+            lo_scene, hi_scene,
+        )
+    if method != "bvh":
+        raise ValueError("Unknown method: {}".format(method))
 
     codes = morton_encode(coords, lo_scene, hi_scene)
     codes_sorted, ids_sorted = argsort_keys(codes)
@@ -126,6 +191,7 @@ class Collider:
         self.ngroups = ngroups
         self.group_size = group_size
         self.coord_dtype = coord_dtype
+        self._cell_capacity = 64
 
     @property
     def n_nodes(self):
@@ -171,7 +237,22 @@ class Collider:
                     (self.size, 3), coords.shape
                 )
             )
-        result = collide(coords, radii, int(n_collisions))
         if collisions is None or n_collisions == 0:
-            return result.count
+            # Count-only: prefer the dense grid engine, growing its cell
+            # capacity on overflow (host-side retry, like the reference's
+            # reallocate-and-retry on resize, collision.py:84-119).
+            cell_capacity = self._cell_capacity
+            while True:
+                result = collide(
+                    coords, radii, 0, method="auto",
+                    cell_capacity=cell_capacity,
+                )
+                if result.ok is None or bool(result.ok):
+                    self._cell_capacity = cell_capacity
+                    return result.count
+                if cell_capacity >= self.size:
+                    result = collide(coords, radii, 0, method="bvh")
+                    return result.count
+                cell_capacity *= 2
+        result = collide(coords, radii, int(n_collisions), method="bvh")
         return result.count, result.pairs

@@ -1,0 +1,128 @@
+"""Pallas streaming compaction: indices of set elements of a huge mask.
+
+The missing TPU primitive. XLA's scatter/gather cost is proportional to the
+*operand* size (measured ~5 ms per million elements on v5e — two orders of
+magnitude off HBM bandwidth), which makes "collect the few set positions of
+a big mask" — the heart of every pair-emission step — catastrically slow in
+pure XLA. This kernel restores the right cost model:
+
+  stream the mask through VMEM at DMA bandwidth
+  + a short scalar loop per *hit* (argmax, record, clear)
+
+so compaction costs (mask bytes / bandwidth) + O(hits), the same shape as
+the reference's atomic-cursor emission (collision.cl:203-214) but
+deterministic: hits are recorded in ascending index order.
+
+This plays the role the reference's hand-rolled scan.cl/radix.cl machinery
+played for OpenCL — the one hand-written device kernel the platform doesn't
+give you — and everything sparse (grid pair emission, cluster-pair lists,
+frontier traversal) composes on top.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: Sentinel filling unused output slots.
+NO_INDEX = np.uint32(0xFFFFFFFF)
+
+#: Rows × lanes per streamed block (i32 mask: 256 KB per block).
+_BLOCK_ROWS = 512
+_LANES = 128
+_BLOCK = _BLOCK_ROWS * _LANES
+
+
+def _compact_kernel(mask_ref, out_ref, total_ref, cursor, scratch):
+    """One grid step: extract set positions of a [_BLOCK_ROWS, 128] block."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        cursor[0] = 0
+        cursor[1] = 0  # running true count (may exceed capacity)
+        out_ref[:] = jnp.full(out_ref.shape, NO_INDEX, jnp.uint32)
+
+    m = mask_ref[:]
+    cnt = jnp.sum(m, dtype=jnp.int32)
+
+    @pl.when(cnt > 0)
+    def _extract():
+        scratch[:] = m
+        base = (step * _BLOCK).astype(jnp.uint32)
+        capacity = out_ref.shape[0]
+
+        def body(_, carry):
+            flat = jnp.argmax(scratch[:].reshape(1, _BLOCK), axis=1)[0]
+            row = flat // _LANES
+            col = flat % _LANES
+            scratch[row, col] = 0
+            c = cursor[0]
+
+            @pl.when(c < capacity)
+            def _store():
+                out_ref[c] = base + flat.astype(jnp.uint32)
+
+            cursor[0] = c + 1
+            return carry
+
+        jax.lax.fori_loop(0, cnt, body, 0)
+
+    cursor[1] = cursor[1] + cnt
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _finish():
+        total_ref[0] = cursor[1]
+
+
+@partial(jax.jit, static_argnames=("capacity", "interpret"))
+def compact_mask(mask, capacity, interpret=False):
+    """Indices of set elements of ``mask``, in ascending order.
+
+    Args:
+      mask: flat bool/int array; nonzero = set. Padded internally to a
+        block multiple.
+      capacity: static output capacity. Like the reference's overflow
+        contract, the returned count is the TRUE number of set elements
+        even when it exceeds capacity; only the first ``capacity`` indices
+        are materialized.
+      interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns:
+      (indices uint32[capacity] — unused slots hold NO_INDEX,
+       count int32 scalar).
+    """
+    mask = jnp.asarray(mask)
+    n = mask.shape[0]
+    padded = -(-n // _BLOCK) * _BLOCK
+    m = jnp.zeros((padded,), jnp.int32).at[:n].set(mask.astype(jnp.int32))
+    m = m.reshape(padded // _LANES, _LANES)
+
+    grid = padded // _BLOCK
+    out, total = pl.pallas_call(
+        _compact_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (_BLOCK_ROWS, _LANES), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((capacity,), jnp.uint32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((_BLOCK_ROWS, _LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(m)
+    return out, total[0]

@@ -17,9 +17,9 @@ import jax.numpy as jnp
 from .collider import collide
 
 
-@partial(jax.jit, static_argnames=("n_steps", "capacity"))
+@partial(jax.jit, static_argnames=("n_steps", "capacity", "method"))
 def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
-             capacity=0):
+             capacity=0, method="bvh"):
     """Integrate spheres for ``n_steps``, re-colliding every step.
 
     Args:
@@ -31,6 +31,9 @@ def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
       lo, hi: axis-aligned box walls; spheres reflect off them.
       capacity: 0 counts collisions per step (the sim-loop benchmark shape);
         > 0 additionally returns the final step's pairs.
+      method: collide engine per step — "bvh" (always exact) or "grid"
+        (dense fast path; a cell-capacity overflow would surface via the
+        per-step ok flags being False, see grid.py).
 
     Returns:
       (final_coords, final_velocities, counts[n_steps]) and, when
@@ -48,7 +51,7 @@ def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
         under = c < lo
         c = jnp.where(over, 2 * hi - c, jnp.where(under, 2 * lo - c, c))
         v = jnp.where(over | under, -v, v)
-        count = collide(c, radii, 0).count
+        count = collide(c, radii, 0, method=method).count
         return (c, v), count
 
     (coords, velocities), counts = jax.lax.scan(
