@@ -14,6 +14,8 @@ submodule imports), the public surface is re-exported here.
 """
 
 from .collider import Collider, CollisionResult, collide
+from .grid import GridCounts, build_grid, grid_count
+from .sim import simulate
 from .lbvh import LBVH, NO_NODE, build, leaf_bounds, refit
 from .lbvh.traverse import (
     STACK_DEPTH,
@@ -51,6 +53,10 @@ __all__ = [
     "Collider",
     "CollisionResult",
     "collide",
+    "GridCounts",
+    "build_grid",
+    "grid_count",
+    "simulate",
     "LBVH",
     "NO_NODE",
     "build",

@@ -84,6 +84,7 @@ def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
     emission falls back to the Pallas interpreter — same results, portable.
     """
     from .grid import build_grid, grid_count
+    from .kernels.emit import grid_fill
     from .kernels.halo import halo_pairs
 
     on_tpu = jax.default_backend() == "tpu" and coords.dtype == jnp.float32
@@ -95,7 +96,14 @@ def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
         return CollisionResult(out.total, None, lo_scene, hi_scene, ok=out.ok)
 
     bins, ok, _ = build_grid(coords, radii, grid_dim, cell_capacity)
-    pairs, total = halo_pairs(
+    if capacity == 0:
+        _, total = halo_pairs(bins, grid_dim, cell_capacity, 0)
+        return CollisionResult(
+            total.astype(jnp.uint32), None, lo_scene, hi_scene, ok=ok
+        )
+    # Fill: tile-counts sweep -> scan -> hit-tile compaction -> targeted
+    # emission (kernels/emit.py) — emission work proportional to hits.
+    pairs, total = grid_fill(
         bins, grid_dim, cell_capacity, capacity, interpret=not on_tpu
     )
     return CollisionResult(
@@ -237,22 +245,24 @@ class Collider:
                     (self.size, 3), coords.shape
                 )
             )
+        # Prefer the dense grid engine, growing its cell capacity on
+        # overflow (host-side retry, like the reference's
+        # reallocate-and-retry on resize, collision.py:84-119), falling
+        # back to the always-exact BVH engine when cells degenerate.
+        capacity = int(n_collisions)
+        cell_capacity = self._cell_capacity
+        while True:
+            result = collide(
+                coords, radii, capacity, method="auto",
+                cell_capacity=cell_capacity,
+            )
+            if result.ok is None or bool(result.ok):
+                self._cell_capacity = cell_capacity
+                break
+            if cell_capacity >= self.size:
+                result = collide(coords, radii, capacity, method="bvh")
+                break
+            cell_capacity *= 2
         if collisions is None or n_collisions == 0:
-            # Count-only: prefer the dense grid engine, growing its cell
-            # capacity on overflow (host-side retry, like the reference's
-            # reallocate-and-retry on resize, collision.py:84-119).
-            cell_capacity = self._cell_capacity
-            while True:
-                result = collide(
-                    coords, radii, 0, method="auto",
-                    cell_capacity=cell_capacity,
-                )
-                if result.ok is None or bool(result.ok):
-                    self._cell_capacity = cell_capacity
-                    return result.count
-                if cell_capacity >= self.size:
-                    result = collide(coords, radii, 0, method="bvh")
-                    return result.count
-                cell_capacity *= 2
-        result = collide(coords, radii, int(n_collisions), method="bvh")
+            return result.count
         return result.count, result.pairs

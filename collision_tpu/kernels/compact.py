@@ -3,11 +3,12 @@
 The missing TPU primitive. XLA's scatter/gather cost is proportional to the
 *operand* size (measured ~5 ms per million elements on v5e — two orders of
 magnitude off HBM bandwidth), which makes "collect the few set positions of
-a big mask" — the heart of every pair-emission step — catastrically slow in
-pure XLA. This kernel restores the right cost model:
+a big mask" — the heart of every pair-emission step — catastrophically slow
+in pure XLA. This kernel restores the right cost model:
 
   stream the mask through VMEM at DMA bandwidth
-  + a short scalar loop per *hit* (argmax, record, clear)
+  + a short vector-select loop per *hit* (first-set row/lane via masked
+    min-reductions; Mosaic forbids scalar VMEM stores and integer argmax)
 
 so compaction costs (mask bytes / bandwidth) + O(hits), the same shape as
 the reference's atomic-cursor emission (collision.cl:203-214) but
@@ -35,8 +36,10 @@ _BLOCK_ROWS = 512
 _LANES = 128
 _BLOCK = _BLOCK_ROWS * _LANES
 
+_BIG = np.int32(2 ** 30)
 
-def _compact_kernel(mask_ref, out_ref, total_ref, cursor, scratch):
+
+def _compact_kernel(mask_ref, out_ref, total_ref, cursor):
     """One grid step: extract set positions of a [_BLOCK_ROWS, 128] block."""
     step = pl.program_id(0)
 
@@ -46,30 +49,35 @@ def _compact_kernel(mask_ref, out_ref, total_ref, cursor, scratch):
         cursor[1] = 0  # running true count (may exceed capacity)
         out_ref[:] = jnp.full(out_ref.shape, NO_INDEX, jnp.uint32)
 
-    m = mask_ref[:]
-    cnt = jnp.sum(m, dtype=jnp.int32)
+    m0 = mask_ref[:]
+    cnt = jnp.sum(m0, dtype=jnp.int32)
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 1)
 
     @pl.when(cnt > 0)
     def _extract():
-        scratch[:] = m
-        base = (step * _BLOCK).astype(jnp.uint32)
+        base = step * _BLOCK
         capacity = out_ref.shape[0]
 
-        def body(_, carry):
-            flat = jnp.argmax(scratch[:].reshape(1, _BLOCK), axis=1)[0]
-            row = flat // _LANES
-            col = flat % _LANES
-            scratch[row, col] = 0
+        def body(_, m):
+            # First set element in row-major order, via masked min-reduces.
+            i = jnp.min(jnp.where(m > 0, row_i, _BIG))
+            in_row = (row_i == i) & (m > 0)
+            j = jnp.min(jnp.where(in_row, lane_i, _BIG))
             c = cursor[0]
 
             @pl.when(c < capacity)
             def _store():
-                out_ref[c] = base + flat.astype(jnp.uint32)
+                flat = jnp.full((1, 1), base, jnp.int32) + i * _LANES + j
+                out_ref[pl.ds(c, 1), :] = jax.lax.bitcast_convert_type(
+                    flat, jnp.uint32
+                )
 
             cursor[0] = c + 1
-            return carry
+            return jnp.where((row_i == i) & (lane_i == j), 0, m)
 
-        jax.lax.fori_loop(0, cnt, body, 0)
+        jax.lax.fori_loop(0, cnt, body, m0)
 
     cursor[1] = cursor[1] + cnt
 
@@ -116,13 +124,12 @@ def compact_mask(mask, capacity, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((capacity,), jnp.uint32),
+            jax.ShapeDtypeStruct((capacity, 1), jnp.uint32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((_BLOCK_ROWS, _LANES), jnp.int32),
         ],
         interpret=interpret,
     )(m)
-    return out, total[0]
+    return out[:, 0], total[0]

@@ -1,0 +1,331 @@
+"""Split fill pipeline: tile-counts sweep → compaction → targeted emission.
+
+The fused halo kernel's per-tile conditional emission costs ~130 cycles per
+tile even when (as almost always) a tile has no hits — measured at ~2× the
+pure counting sweep. This module restructures pair emission the TPU way:
+
+  1. ``halo_tile_counts``: the counting sweep, but accumulating per-tile
+     (z, offset) counts into a lane-vector register and writing one dense
+     [tiles]-shaped block per grid step — no conditionals at all.
+  2. XLA: exclusive scan of the flat tile counts assigns every tile a
+     contiguous slice of the pair buffer; total = sum (exact, even past
+     capacity).
+  3. ``compact_mask`` (kernels/compact.py) extracts the hit tiles — a
+     stream at DMA speed.
+  4. ``emit_pairs``: a PrefetchScalarGridSpec kernel whose index maps read
+     the hit-tile table, DMA exactly the two cells of each hit tile,
+     recompute its mask, and write its pairs at the prescanned base — no
+     cursor, deterministic, work ∝ hits.
+
+Because hit tiles are emitted in ascending tile order and each hit tile
+holds ≥ 1 pair, truncating the hit list at ``capacity`` tiles can only drop
+pairs that would land past ``capacity`` anyway — the overflow contract
+(true count, first-capacity materialization) holds with no extra flag.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..grid import _HALF_OFFSETS
+from ..utils import round_up
+from .compact import NO_INDEX, compact_mask
+
+NO_PAIR = np.uint32(0xFFFFFFFF)
+
+#: Offset-decode tables: entry 0 is the self offset, 1..13 the half-stencil.
+_OFF = ((0, 0, 0),) + _HALF_OFFSETS
+_DX = np.array([o[0] for o in _OFF], np.int32)
+_DY = np.array([o[1] for o in _OFF], np.int32)
+_DZ = np.array([o[2] for o in _OFF], np.int32)
+
+#: Tiles emitted per emit-kernel grid step.
+_BATCH = 8
+
+
+def _tile_test(a, b):
+    """Strict overlap mask [M, M]: a [M, 8] sublane rows, b [8, M] lanes."""
+    mask = None
+    for c in range(3):
+        m = (a[:, 4 + c:5 + c] > b[c:c + 1, :]) & (
+            a[:, c:c + 1] < b[4 + c:5 + c, :]
+        )
+        mask = m if mask is None else (mask & m)
+    return mask
+
+
+def _make_counts_kernel(grid_dim, cell_capacity, tile_pad):
+    M = cell_capacity
+    Gz = grid_dim
+    R = tile_pad // 128
+
+    def kernel(center, *rest):
+        cols = rest[:9]
+        tc_ref = rest[9]
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        flat_i = row_i * 128 + lane_i
+
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+        cols_m = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+        tri = cols_m > rows_m
+        self_col = cols[4]
+
+        def process_cell(z, acc):
+            a = center[0, 0, z + 1]
+            t0 = z * 14
+            mask = _tile_test(a, self_col[0, 0, z + 1]) & tri
+            acc = acc + jnp.where(
+                flat_i == t0, jnp.sum(mask, dtype=jnp.int32), 0
+            )
+            for o, (dx, dy, dz) in enumerate(_HALF_OFFSETS, start=1):
+                b_col = cols[(dx + 1) * 3 + (dy + 1)]
+                mask = _tile_test(a, b_col[0, 0, z + 1 + dz])
+                acc = acc + jnp.where(
+                    flat_i == t0 + o, jnp.sum(mask, dtype=jnp.int32), 0
+                )
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, Gz, process_cell, jnp.zeros((R, 128), jnp.int32)
+        )
+        tc_ref[0] = acc
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("grid_dim", "cell_capacity", "interpret"))
+def halo_tile_counts(bins, grid_dim, cell_capacity, interpret=False):
+    """Per-tile pair counts: int32[grid_dim², tile_pad] (tile = z*14 + o,
+    padded to a lane multiple; pad tiles count 0)."""
+    M = cell_capacity
+    tile_pad = round_up(grid_dim * 14, 128)
+    kernel = _make_counts_kernel(grid_dim, cell_capacity, tile_pad)
+    bins_lane = jnp.swapaxes(bins, -1, -2)
+
+    def center_map(s):
+        return (s // grid_dim + 1, s % grid_dim + 1, 0, 0, 0)
+
+    def col_spec(dx, dy):
+        return pl.BlockSpec(
+            (1, 1, grid_dim + 2, 8, M),
+            lambda s, dx=dx, dy=dy: (s // grid_dim + dx, s % grid_dim + dy,
+                                     0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid_dim * grid_dim,),
+        in_specs=[
+            pl.BlockSpec((1, 1, grid_dim + 2, M, 8), center_map,
+                         memory_space=pltpu.VMEM),
+        ] + [col_spec(dx, dy) for dx in (0, 1, 2) for dy in (0, 1, 2)],
+        out_specs=pl.BlockSpec(
+            (1, tile_pad // 128, 128), lambda s: (s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_dim * grid_dim, tile_pad // 128, 128), jnp.int32
+        ),
+        interpret=interpret,
+    )(bins, *([bins_lane] * 9))
+    return out.reshape(grid_dim * grid_dim, tile_pad)
+
+
+def _make_emit_kernel(grid_dim, cell_capacity, tile_pad, capacity):
+    M = cell_capacity
+
+    def kernel(tiles_ref, bases_ref, *rest):
+        blocks = rest[: 2 * _BATCH]
+        pairs_ref = rest[2 * _BATCH]
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            pairs_ref[:] = jnp.full(pairs_ref.shape, NO_PAIR, jnp.uint32)
+
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+        cols_m = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+        tri = cols_m > rows_m
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+
+        for k in range(_BATCH):
+            idx = step * _BATCH + k
+            base = bases_ref[idx]
+            o = tiles_ref[idx] % tile_pad % 14
+            a_blk = blocks[2 * k]
+            b_blk = blocks[2 * k + 1]
+
+            @pl.when(base < capacity)
+            def _do(a_blk=a_blk, b_blk=b_blk, base=base, o=o):
+                a = a_blk[0, 0, 0]
+                b = b_blk[0, 0, 0]
+                mask = _tile_test(a, b) & (tri | (o != 0))
+                cnt = jnp.sum(mask, dtype=jnp.int32)
+
+                def body(kk, m):
+                    row_max = jnp.max(m, axis=1)
+                    i = jnp.argmax(row_max.reshape(1, M), axis=1)[0]
+                    sel_row = jnp.sum(jnp.where(rows_m == i, m, 0.0), axis=0)
+                    j = jnp.argmax(sel_row.reshape(1, M), axis=1)[0]
+                    c = base + kk
+
+                    @pl.when(c < capacity)
+                    def _store():
+                        bits_a = jax.lax.bitcast_convert_type(
+                            a[:, 3:4], jnp.int32
+                        )
+                        bits_b = jax.lax.bitcast_convert_type(
+                            b[3:4, :], jnp.int32
+                        )
+                        ida = jnp.sum(
+                            jnp.where(sub_i == i, bits_a, 0),
+                            axis=0, keepdims=True, dtype=jnp.int32,
+                        )
+                        idb = jnp.sum(
+                            jnp.where(lane_i == j, bits_b, 0),
+                            axis=1, keepdims=True, dtype=jnp.int32,
+                        )
+                        # Mosaic can't concat vregs with different
+                        # internal offsets; build the [1, 2] row with a
+                        # broadcast + lane select instead.
+                        lane2 = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 2), 1
+                        )
+                        ids2 = jnp.where(
+                            lane2 == 0,
+                            jnp.broadcast_to(ida, (1, 2)),
+                            jnp.broadcast_to(idb, (1, 2)),
+                        )
+                        pairs_ref[pl.ds(c, 1), :] = (
+                            jax.lax.bitcast_convert_type(ids2, jnp.uint32)
+                        )
+
+                    return jnp.where((rows_m == i) & (cols_m == j), 0.0, m)
+
+                jax.lax.fori_loop(0, cnt, body, mask.astype(jnp.float32))
+
+    return kernel
+
+
+def _decode_maps(grid_dim, tile_pad):
+    """Index maps decoding a flat hit-tile id into block coordinates."""
+
+    def center_map(s, k, tiles_ref, bases_ref):
+        t = tiles_ref[s * _BATCH + k]
+        col = t // tile_pad
+        zo = t % tile_pad
+        return (col // grid_dim + 1, col % grid_dim + 1, zo // 14 + 1, 0, 0)
+
+    def nbr_map(s, k, tiles_ref, bases_ref):
+        t = tiles_ref[s * _BATCH + k]
+        col = t // tile_pad
+        zo = t % tile_pad
+        z = zo // 14
+        o = zo % 14
+        # Arithmetic decode of _OFF (index maps may not capture arrays):
+        # o=0 self; o=1 (0,0,1); o=2..4 (0,1,o-3); o>=5 (1,(o-5)//3-1,(o-5)%3-1)
+        dx = (o >= 5).astype(jnp.int32)
+        dy = jnp.where(o >= 5, (o - 5) // 3 - 1,
+                       jnp.where(o >= 2, 1, 0))
+        dz = jnp.where(o >= 5, (o - 5) % 3 - 1,
+                       jnp.where(o >= 2, o - 3, jnp.where(o == 1, 1, 0)))
+        return (col // grid_dim + 1 + dx, col % grid_dim + 1 + dy,
+                z + 1 + dz, 0, 0)
+
+    return center_map, nbr_map
+
+
+@partial(jax.jit, static_argnames=(
+    "grid_dim", "cell_capacity", "capacity", "interpret"))
+def emit_pairs(bins, tiles, bases, grid_dim, cell_capacity, capacity,
+               interpret=False):
+    """Write each hit tile's pairs at its prescanned base offset.
+
+    Args:
+      tiles: int32[Hcap] flat hit-tile ids (col*tile_pad + z*14 + o),
+        padded entries must have bases >= capacity.
+      bases: int32[Hcap] pair-buffer base offset per tile.
+
+    Returns uint32[capacity, 2]; untouched slots hold NO_PAIR.
+    """
+    M = cell_capacity
+    tile_pad = round_up(grid_dim * 14, 128)
+    kernel = _make_emit_kernel(grid_dim, cell_capacity, tile_pad, capacity)
+    bins_lane = jnp.swapaxes(bins, -1, -2)
+    h = tiles.shape[0]
+    assert h % _BATCH == 0
+    center_map, nbr_map = _decode_maps(grid_dim, tile_pad)
+
+    in_specs = []
+    for k in range(_BATCH):
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1, M, 8),
+            partial(
+                lambda s, tiles_ref, bases_ref, k: center_map(
+                    s, k, tiles_ref, bases_ref
+                ), k=k,
+            ),
+            memory_space=pltpu.VMEM,
+        ))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1, 8, M),
+            partial(
+                lambda s, tiles_ref, bases_ref, k: nbr_map(
+                    s, k, tiles_ref, bases_ref
+                ), k=k,
+            ),
+            memory_space=pltpu.VMEM,
+        ))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(h // _BATCH,),
+        in_specs=sum(
+            [[in_specs[2 * k], in_specs[2 * k + 1]] for k in range(_BATCH)],
+            [],
+        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+
+    blocks = [x for _ in range(_BATCH) for x in (bins, bins_lane)]
+    pairs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((capacity, 2), jnp.uint32),
+        interpret=interpret,
+    )(tiles, bases, *blocks)
+    return pairs
+
+
+def grid_fill(bins, grid_dim, cell_capacity, capacity, interpret=False):
+    """Count + emit from bins: returns (pairs[capacity, 2], total uint32)."""
+    from ..ops.scan import exclusive_scan
+
+    tc = halo_tile_counts(bins, grid_dim, cell_capacity, interpret=interpret)
+    flat = tc.reshape(-1)
+    total = jnp.sum(flat, dtype=jnp.uint32)
+    bases = exclusive_scan(flat)
+
+    # Hit tiles in ascending order; each holds >= 1 pair, so tiles past the
+    # first `capacity` can only contain pairs past capacity — safe to drop.
+    hcap = round_up(max(min(capacity, flat.shape[0]), _BATCH), _BATCH)
+    hit_idx, _ = compact_mask(flat > 0, hcap, interpret=interpret)
+    valid = hit_idx != NO_INDEX
+    tiles = jnp.where(valid, hit_idx, 0).astype(jnp.int32)
+    tile_bases = jnp.where(
+        valid, jnp.take(bases, tiles), capacity
+    ).astype(jnp.int32)
+    pairs = emit_pairs(
+        bins, tiles, tile_bases, grid_dim, cell_capacity, capacity,
+        interpret=interpret,
+    )
+    return pairs, total

@@ -2,14 +2,21 @@
 
 One kernel replaces the whole XLA stencil + compaction chain of grid.py:
 the grid is swept in (x, y) steps; each step DMAs the 3×3 neighborhood of
-z-columns into VMEM (9 columns × (grid_dim+2) cells), runs the 14-offset
-dense tile tests for all z cells of the column, and extracts hits with a
-short scalar loop per hit — reading both sphere ids directly from the bin
-lanes and writing (id_a, id_b) through an SMEM cursor, ascending-index
-deterministic. This is the TPU analog of the reference's traverse kernel
-with its atomic pair cursor (collision.cl:174-226): same contract (true
-count even past capacity; only ``capacity`` pairs materialized), no atomics,
-no divergence, traffic ≈ 9× the bin bytes + O(hits).
+z-columns into VMEM, runs the 14-offset dense tile tests for all z cells of
+the column, and extracts hits with a short vector-select loop per hit —
+reading both sphere ids directly from the bin lanes and writing
+(id_a, id_b) through an SMEM cursor, ascending-index deterministic. This is
+the TPU analog of the reference's traverse kernel with its atomic pair
+cursor (collision.cl:174-226): same contract (true count even past
+capacity; only ``capacity`` pairs materialized), no atomics, no divergence,
+traffic ≈ 10× the bin bytes + O(hits).
+
+Layout note: VMEM pads the minor (lane) dimension to 128, so the natural
+[M, 8] row layout would bloat 16×. Neighbor ("b") columns therefore arrive
+*lane-oriented* [8, M] (components on sublanes, slots on lanes) while the
+center ("a") column stays sublane-oriented [M, 8]; the strict-overlap test
+is then six native [M, 1] × [1, M] broadcast compares with no transposes
+and no [M, M, 3] intermediates.
 
 The dedup rule matches grid.py: 13 lexicographically-positive offsets visit
 each unordered cell pair once; the self offset uses the upper triangle.
@@ -34,16 +41,18 @@ def _make_kernel(grid_dim, cell_capacity, capacity, count_only):
     Gz = grid_dim
 
     def kernel(*refs):
-        # refs: 9 column refs [(dx,dy) in row-major 3x3 of the 1-cell halo],
-        # then outputs, then scratch (cursor smem, mask vmem, rowmax vmem).
-        cols = refs[:9]
+        # refs: center column (sublane-oriented [1,1,Z,M,8]), 9 neighbor
+        # columns (lane-oriented [1,1,Z,8,M], row-major 3x3 of the halo),
+        # then outputs, then scratch (cursor smem).
+        center = refs[0]
+        cols = refs[1:10]
         if count_only:
-            total_ref = refs[9]
-            cursor = refs[10]
+            total_ref = refs[10]
+            cursor = refs[11]
             pairs_ref = None
         else:
-            pairs_ref, total_ref = refs[9], refs[10]
-            cursor = refs[11]
+            pairs_ref, total_ref = refs[10], refs[11]
+            cursor = refs[12]
 
         step = pl.program_id(0)
 
@@ -54,24 +63,26 @@ def _make_kernel(grid_dim, cell_capacity, capacity, count_only):
             if pairs_ref is not None:
                 pairs_ref[:] = jnp.full(pairs_ref.shape, NO_PAIR, jnp.uint32)
 
-        center = cols[4]  # (dx, dy) == (1, 1)
-
-        def load(col, z):
-            return col[0, 0, z]
-
         def tile_test(a, b):
-            # a, b: [M, 8] float rows; strict overlap mask [M, M] bool.
-            alo = jnp.expand_dims(a[:, 0:3], 1)   # [M, 1, 3]
-            ahi = jnp.expand_dims(a[:, 4:7], 1)
-            blo = jnp.expand_dims(b[:, 0:3], 0)   # [1, M, 3]
-            bhi = jnp.expand_dims(b[:, 4:7], 0)
-            return jnp.all((ahi > blo) & (alo < bhi), axis=-1)
+            # a: [M, 8] sublane rows; b: [8, M] lane planes.
+            # Strict overlap (collision.cl:164-166) as six [M,1]x[1,M]
+            # broadcast compares; +inf pad never matches.
+            mask = None
+            for c in range(3):
+                m = (a[:, 4 + c:5 + c] > b[c:c + 1, :]) & (
+                    a[:, c:c + 1] < b[4 + c:5 + c, :]
+                )
+                mask = m if mask is None else (mask & m)
+            return mask
 
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
         cols_i = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
 
-        def emit(a_col, za, b_col, zb, mask):
-            """Record all set (i, j) of mask as id pairs.
+        def emit(za, b_col, zb, mask, acc):
+            """Record all set (i, j) of mask as id pairs; returns the
+            updated register count accumulator (the SMEM true-count cursor
+            is only written once per grid step — per-tile SMEM round-trips
+            measured ~2x the whole count pass).
 
             Mosaic forbids scalar stores to VMEM, so the mask lives in
             vector registers as the loop carry, bits are cleared with
@@ -93,12 +104,41 @@ def _make_kernel(grid_dim, cell_capacity, capacity, count_only):
 
                     @pl.when(c < capacity)
                     def _store():
-                        # All-vector path (Mosaic bitcast requires vectors):
-                        # [1, 8] row slices -> id lanes -> [1, 2] bitcast.
-                        rowa = a_col[0, 0, za, pl.ds(i, 1), :]
-                        rowb = b_col[0, 0, zb, pl.ds(j, 1), :]
-                        ids2 = jnp.concatenate(
-                            [rowa[:, 3:4], rowb[:, 3:4]], axis=1
+                        # All-vector path: Mosaic forbids dynamic lane /
+                        # sublane indexing, so ids are selected with
+                        # one-hot reductions over statically-sliced lanes.
+                        # (signed sums: Mosaic lacks unsigned reductions;
+                        # the final bitcast restores the uint32 view)
+                        bits_a = jax.lax.bitcast_convert_type(
+                            center[0, 0, za, :, 3:4], jnp.int32
+                        )  # [M, 1]
+                        bits_b = jax.lax.bitcast_convert_type(
+                            b_col[0, 0, zb, 3:4, :], jnp.int32
+                        )  # [1, M]
+                        sub_i = jax.lax.broadcasted_iota(
+                            jnp.int32, (M, 1), 0
+                        )
+                        lane_i = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, M), 1
+                        )
+                        ida = jnp.sum(
+                            jnp.where(sub_i == i, bits_a, 0),
+                            axis=0, keepdims=True, dtype=jnp.int32,
+                        )  # [1, 1]
+                        idb = jnp.sum(
+                            jnp.where(lane_i == j, bits_b, 0),
+                            axis=1, keepdims=True, dtype=jnp.int32,
+                        )  # [1, 1]
+                        # Mosaic can't concat vregs with different
+                        # internal offsets; build the [1, 2] row with a
+                        # broadcast + lane select instead.
+                        lane2 = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 2), 1
+                        )
+                        ids2 = jnp.where(
+                            lane2 == 0,
+                            jnp.broadcast_to(ida, (1, 2)),
+                            jnp.broadcast_to(idb, (1, 2)),
                         )
                         pairs_ref[pl.ds(c, 1), :] = (
                             jax.lax.bitcast_convert_type(ids2, jnp.uint32)
@@ -109,33 +149,29 @@ def _make_kernel(grid_dim, cell_capacity, capacity, count_only):
 
                 jax.lax.fori_loop(0, cnt, body, mask.astype(jnp.float32))
 
-            cursor[1] = cursor[1] + cnt
+            return acc + cnt
 
-        tri = (
-            jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-            > jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
-        )
+        tri = cols_i > rows_i
+        self_col = cols[4]  # lane-oriented copy of the center column
 
         def process_cell(z, acc):
-            a = load(center, z + 1)
-            mask = tile_test(a, a) & tri
+            a = center[0, 0, z + 1]
+            mask = tile_test(a, self_col[0, 0, z + 1]) & tri
             if count_only:
                 acc = acc + jnp.sum(mask, dtype=jnp.int32)
             else:
-                emit(center, z + 1, center, z + 1, mask)
+                acc = emit(z + 1, self_col, z + 1, mask, acc)
             for (dx, dy, dz) in _HALF_OFFSETS:
                 b_col = cols[(dx + 1) * 3 + (dy + 1)]
-                b = load(b_col, z + 1 + dz)
-                mask = tile_test(a, b)
+                mask = tile_test(a, b_col[0, 0, z + 1 + dz])
                 if count_only:
                     acc = acc + jnp.sum(mask, dtype=jnp.int32)
                 else:
-                    emit(center, z + 1, b_col, z + 1 + dz, mask)
+                    acc = emit(z + 1, b_col, z + 1 + dz, mask, acc)
             return acc
 
         acc = jax.lax.fori_loop(0, Gz, process_cell, jnp.int32(0))
-        if count_only:
-            cursor[1] = cursor[1] + acc
+        cursor[1] = cursor[1] + acc
 
         @pl.when(step == pl.num_programs(0) - 1)
         def _finish():
@@ -150,9 +186,10 @@ def halo_pairs(bins, grid_dim, cell_capacity, capacity, interpret=False):
     """Count (and emit, if capacity > 0) colliding pairs from padded bins.
 
     Args:
-      bins: [grid_dim+2]³ padded bin tensor from grid.build_grid (f32).
+      bins: [grid_dim+2]³ × [cell_capacity, 8] padded bin tensor from
+        grid.build_grid (float32).
       capacity: 0 = count-only; else pair-buffer capacity (pairs live in
-        VMEM during the sweep — keep capacity ≲ 1M).
+        VMEM during the sweep — keep capacity ≲ 400k).
 
     Returns:
       (pairs uint32[capacity, 2] or None, total int32) — total is the true
@@ -163,24 +200,35 @@ def halo_pairs(bins, grid_dim, cell_capacity, capacity, interpret=False):
     kernel = _make_kernel(grid_dim, cell_capacity, max(capacity, 1),
                           count_only)
 
+    # Lane-oriented twin for neighbor columns: [..., 8, M] keeps VMEM
+    # blocks unpadded (M on lanes) — one cheap dense transpose per frame.
+    bins_lane = jnp.swapaxes(bins, -1, -2)
+
     grid = (grid_dim * grid_dim,)
 
-    def col_spec(dx, dy):
+    def center_spec():
         def index_map(s):
-            gx = s // grid_dim
-            gy = s % grid_dim
-            return (gx + dx, gy + dy, 0, 0, 0)
+            return (s // grid_dim + 1, s % grid_dim + 1, 0, 0, 0)
 
         return pl.BlockSpec(
             (1, 1, grid_dim + 2, M, 8), index_map,
             memory_space=pltpu.VMEM,
         )
 
-    in_specs = [col_spec(dx, dy) for dx in (0, 1, 2) for dy in (0, 1, 2)]
+    def col_spec(dx, dy):
+        def index_map(s):
+            return (s // grid_dim + dx, s % grid_dim + dy, 0, 0, 0)
 
-    scratch_shapes = [
-        pltpu.SMEM((2,), jnp.int32),
+        return pl.BlockSpec(
+            (1, 1, grid_dim + 2, 8, M), index_map,
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [center_spec()] + [
+        col_spec(dx, dy) for dx in (0, 1, 2) for dy in (0, 1, 2)
     ]
+
+    scratch_shapes = [pltpu.SMEM((2,), jnp.int32)]
 
     if count_only:
         out_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -203,7 +251,7 @@ def halo_pairs(bins, grid_dim, cell_capacity, capacity, interpret=False):
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(*([bins] * 9))
+    )(bins, *([bins_lane] * 9))
 
     if count_only:
         return None, out[0][0]
