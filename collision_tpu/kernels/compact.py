@@ -31,10 +31,16 @@ from jax.experimental.pallas import tpu as pltpu
 #: Sentinel filling unused output slots.
 NO_INDEX = np.uint32(0xFFFFFFFF)
 
-#: Rows × lanes per streamed block (i32 mask: 256 KB per block).
+#: Rows × lanes per streamed grid block (i32 mask: 256 KB per block).
 _BLOCK_ROWS = 512
 _LANES = 128
 _BLOCK = _BLOCK_ROWS * _LANES
+
+#: Rows per extraction sub-tile: per-hit masked reductions run over one
+#: [8, 128] vreg instead of the whole streamed block — dense hit patterns
+#: (e.g. segment boundaries, ~3% density) were reduction-bound otherwise.
+_SUB_ROWS = 8
+_SUB = _SUB_ROWS * _LANES
 
 _BIG = np.int32(2 ** 30)
 
@@ -49,37 +55,46 @@ def _compact_kernel(mask_ref, out_ref, total_ref, cursor):
         cursor[1] = 0  # running true count (may exceed capacity)
         out_ref[:] = jnp.full(out_ref.shape, NO_INDEX, jnp.uint32)
 
-    m0 = mask_ref[:]
-    cnt = jnp.sum(m0, dtype=jnp.int32)
+    capacity = out_ref.shape[0]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB_ROWS, _LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (_SUB_ROWS, _LANES), 1)
 
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 0)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 1)
+    def sub_block(t, total):
+        off = pl.multiple_of(t * _SUB_ROWS, _SUB_ROWS)
+        m0 = mask_ref[pl.ds(off, _SUB_ROWS), :]
+        cnt = jnp.sum(m0, dtype=jnp.int32)
 
-    @pl.when(cnt > 0)
-    def _extract():
-        base = step * _BLOCK
-        capacity = out_ref.shape[0]
+        @pl.when(cnt > 0)
+        def _extract():
+            base = step * _BLOCK + t * _SUB
 
-        def body(_, m):
-            # First set element in row-major order, via masked min-reduces.
-            i = jnp.min(jnp.where(m > 0, row_i, _BIG))
-            in_row = (row_i == i) & (m > 0)
-            j = jnp.min(jnp.where(in_row, lane_i, _BIG))
-            c = cursor[0]
+            def body(_, m):
+                # First set element in row-major order via min-reduces.
+                i = jnp.min(jnp.where(m > 0, row_i, _BIG))
+                in_row = (row_i == i) & (m > 0)
+                j = jnp.min(jnp.where(in_row, lane_i, _BIG))
+                c = cursor[0]
 
-            @pl.when(c < capacity)
-            def _store():
-                flat = jnp.full((1, 1), base, jnp.int32) + i * _LANES + j
-                out_ref[pl.ds(c, 1), :] = jax.lax.bitcast_convert_type(
-                    flat, jnp.uint32
-                )
+                @pl.when(c < capacity)
+                def _store():
+                    flat = (
+                        jnp.full((1, 1), base, jnp.int32) + i * _LANES + j
+                    )
+                    out_ref[pl.ds(c, 1), :] = jax.lax.bitcast_convert_type(
+                        flat, jnp.uint32
+                    )
 
-            cursor[0] = c + 1
-            return jnp.where((row_i == i) & (lane_i == j), 0, m)
+                cursor[0] = c + 1
+                return jnp.where((row_i == i) & (lane_i == j), 0, m)
 
-        jax.lax.fori_loop(0, cnt, body, m0)
+            jax.lax.fori_loop(0, cnt, body, m0)
 
-    cursor[1] = cursor[1] + cnt
+        return total + cnt
+
+    total = jax.lax.fori_loop(
+        0, _BLOCK_ROWS // _SUB_ROWS, sub_block, jnp.int32(0)
+    )
+    cursor[1] = cursor[1] + total
 
     @pl.when(step == pl.num_programs(0) - 1)
     def _finish():
