@@ -1,22 +1,26 @@
-"""Benchmark: full broad-phase step (sort + LBVH build + refit + traverse).
+"""Benchmark: full broad-phase step (sort + grid build + count sweep).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The headline config is BASELINE.json's north star — 1M spheres, count-only,
 fully jitted, on one TPU chip, target < 10 ms/step — so vs_baseline is
 (10 ms / measured ms): 1.0 means parity with the target, higher is better.
-Workload mirrors the reference benchmark harness (tests/benchmarks/
-test_collide.py: uniform random centers, radii scaled to keep the pair
-count realistic; pedantic-style warmup + timed rounds around
-block_until_ready).
+
+Measurement notes: on this environment's remote TPU backend,
+``jax.block_until_ready`` does not actually block, and every device→host
+fetch pays a ~25-30 ms tunnel round-trip. Steps are therefore chained
+*on-device* (a ``fori_loop`` whose carry depends on each step's count) and
+timed by differencing two chain lengths around one fetch each, which
+cancels both the fixed round-trip and dispatch overheads.
 
 Env overrides: BENCH_N (default 1_000_000 on TPU, 65_536 elsewhere),
-BENCH_ROUNDS (default 10), BENCH_WARMUP (default 3).
+BENCH_ROUNDS (chain length, default 10), BENCH_REPEATS (default 3).
 """
 
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -31,7 +35,7 @@ def main():
     default_n = 1_000_000 if platform != "cpu" else 65_536
     n = int(os.environ.get("BENCH_N", default_n))
     rounds = int(os.environ.get("BENCH_ROUNDS", 10))
-    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
 
     rng = np.random.RandomState(4)
     coords = jnp.asarray(rng.random((n, 3)).astype("float32"))
@@ -39,14 +43,30 @@ def main():
         rng.uniform(0, 1 / n ** 0.5, n).astype("float32")
     )
 
-    for _ in range(warmup):
-        res = jax.block_until_ready(collide(coords, radii, 0))
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(coords, radii, k):
+        # Each iteration perturbs the input by a count-dependent epsilon so
+        # no step can be folded away, then depends on the previous count.
+        def body(i, carry):
+            acc, c = carry
+            res = collide(c, radii, 0)
+            eps = (res.count % 2).astype(jnp.float32) * 1e-7
+            return acc + res.count, coords + eps
+        acc, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), coords))
+        return acc
 
-    t0 = time.perf_counter()
-    for _ in range(rounds):
-        res = collide(coords, radii, 0)
-    jax.block_until_ready(res)
-    ms = (time.perf_counter() - t0) / rounds * 1e3
+    def run(k):
+        best = float("inf")
+        int(chain(coords, radii, k))  # compile + warm
+        for _ in range(repeats):
+            t = time.perf_counter()
+            int(chain(coords, radii, k))
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    t_short = run(1)
+    t_long = run(rounds + 1)
+    ms = max((t_long - t_short) / rounds * 1e3, 1e-6)
 
     print(json.dumps({
         "metric": "broadphase_step_ms_n{}".format(n),

@@ -217,16 +217,20 @@ def _make_emit_kernel(grid_dim, cell_capacity, tile_pad, capacity):
 
 
 def _decode_maps(grid_dim, tile_pad):
-    """Index maps decoding a flat hit-tile id into block coordinates."""
+    """Index maps decoding a flat hit-tile id into block coordinates.
 
-    def center_map(s, k, tiles_ref, bases_ref):
-        t = tiles_ref[s * _BATCH + k]
+    Accept 1 or 2 trailing scalar refs (tiles [, bases]); negative /
+    sanitized tile ids decode via max(t, 0).
+    """
+
+    def center_map(s, k, tiles_ref, *rest):
+        t = jnp.maximum(tiles_ref[s * _BATCH + k], 0)
         col = t // tile_pad
         zo = t % tile_pad
         return (col // grid_dim + 1, col % grid_dim + 1, zo // 14 + 1, 0, 0)
 
-    def nbr_map(s, k, tiles_ref, bases_ref):
-        t = tiles_ref[s * _BATCH + k]
+    def nbr_map(s, k, tiles_ref, *rest):
+        t = jnp.maximum(tiles_ref[s * _BATCH + k], 0)
         col = t // tile_pad
         zo = t % tile_pad
         z = zo // 14
@@ -306,8 +310,19 @@ def emit_pairs(bins, tiles, bases, grid_dim, cell_capacity, capacity,
     return pairs
 
 
-def grid_fill(bins, grid_dim, cell_capacity, capacity, interpret=False):
-    """Count + emit from bins: returns (pairs[capacity, 2], total uint32)."""
+def grid_fill(bins, grid_dim, cell_capacity, capacity, hit_capacity=None,
+              interpret=False):
+    """Count + emit from bins: returns (pairs[capacity, 2], total uint32).
+
+    Pair slots are assigned by an exclusive scan of the exact per-tile
+    counts in ascending tile order — deterministic, gap-free,
+    first-capacity materialization with the true total (the reference
+    overflow contract, collision.cl:203-207).
+
+    (A 16-bit conservative-prefilter variant was tried and reverted: the
+    v5e vector unit supports neither bf16 nor int16 compares in Mosaic,
+    so the exact f32 sweep is already the fastest available test.)
+    """
     from ..ops.scan import exclusive_scan
 
     tc = halo_tile_counts(bins, grid_dim, cell_capacity, interpret=interpret)
