@@ -37,12 +37,6 @@ from .compact import NO_INDEX, compact_mask
 
 NO_PAIR = np.uint32(0xFFFFFFFF)
 
-#: Offset-decode tables: entry 0 is the self offset, 1..13 the half-stencil.
-_OFF = ((0, 0, 0),) + _HALF_OFFSETS
-_DX = np.array([o[0] for o in _OFF], np.int32)
-_DY = np.array([o[1] for o in _OFF], np.int32)
-_DZ = np.array([o[2] for o in _OFF], np.int32)
-
 #: Tiles emitted per emit-kernel grid step.
 _BATCH = 8
 
