@@ -22,7 +22,9 @@ def bench(fn, *args, rounds=10, warmup=3, probe=None):
 
     if probe is None:
         def probe(r):
-            return jax.tree_util.tree_leaves(r)[0]
+            # Slice device-side before fetching: the remote tunnel streams
+            # full arrays at ~42 MB/s, which would swamp the measurement.
+            return jax.tree_util.tree_leaves(r)[0].ravel()[:1]
 
     for _ in range(warmup):
         np.asarray(probe(fn(*args)))

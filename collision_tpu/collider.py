@@ -75,6 +75,13 @@ GRID_AUTO_THRESHOLD = 65536
 GRID_MAX_CAPACITY = 262144
 
 
+def default_grid_dim(n, target_occupancy=30):
+    """Cells per axis giving ~``target_occupancy`` spheres per cell for
+    uniform scenes — the measured sweet spot on v5e is mean occupancy
+    ~30 with cell capacity 64 (see docs/design.md)."""
+    return int(min(max(round((n / target_occupancy) ** (1 / 3)), 4), 64))
+
+
 def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
                   lo_scene, hi_scene):
     """Grid-engine frame: dense binning + halo-kernel count/emit.
@@ -251,10 +258,11 @@ class Collider:
         # back to the always-exact BVH engine when cells degenerate.
         capacity = int(n_collisions)
         cell_capacity = self._cell_capacity
+        grid_dim = default_grid_dim(self.size)
         while True:
             result = collide(
                 coords, radii, capacity, method="auto",
-                cell_capacity=cell_capacity,
+                grid_dim=grid_dim, cell_capacity=cell_capacity,
             )
             if result.ok is None or bool(result.ok):
                 self._cell_capacity = cell_capacity

@@ -75,28 +75,14 @@ def _bitcast_from(x_float):
     return jax.lax.bitcast_convert_type(x_float, jnp.uint64).astype(jnp.uint32)
 
 
-def _cell_starts(cell_s, G, stride=64):
-    """starts[c] = first index i with cell_s[i] >= c, for c in [0, G].
-
-    A full searchsorted over [n] costs ~16 ms at 1M on v5e (binary search =
-    20 rounds of big-table gathers). This two-level version binary-searches
-    a VMEM-sized coarse subsample (every ``stride``-th key — small-table
-    gathers are ~35× faster), then resolves exactly inside one
-    ``stride``-wide window per cell with a single wide row-gather and a
-    dense compare-count. All fast-class ops; ~1-2 ms.
-    """
-    n = cell_s.shape[0]
-    pad = -(-n // stride) * stride
-    padded = jnp.full((pad,), jnp.uint32(0xFFFFFFFF)).at[:n].set(cell_s)
-    rows2d = padded.reshape(pad // stride, stride)
-    coarse = rows2d[:, 0]
+def _cell_starts(cell_s, G):
+    """starts[c] = first index i with cell_s[i] >= c, for c in [0, G]
+    (the two-level windowed searchsorted from ops/offset.py, ~2 ms at 1M
+    vs ~16 ms for XLA's binary search)."""
+    from .ops.offset import sorted_bucket_starts
 
     c = jnp.arange(G + 1, dtype=cell_s.dtype)
-    b = jnp.searchsorted(coarse, c, side="left")
-    br = jnp.maximum(b.astype(jnp.int32) - 1, 0)
-    window = jnp.take(rows2d, br, axis=0)  # [G+1, stride]
-    cnt = jnp.sum(window < c[:, None], axis=1, dtype=jnp.int32)
-    return jnp.minimum(br * stride + cnt, n)
+    return sorted_bucket_starts(cell_s, c)
 
 
 def build_grid(coords, radii, grid_dim, cell_capacity, method="auto"):

@@ -17,6 +17,32 @@ import numpy as np
 _UNSIGNED = {np.dtype(d) for d in ("uint8", "uint16", "uint32", "uint64")}
 
 
+def sorted_bucket_starts(values, buckets, stride=64):
+    """searchsorted(values, buckets, side='left') built from TPU-fast ops.
+
+    XLA's searchsorted is a binary search whose every round is a big-table
+    gather (~16 ms per million lookups on v5e). This version searches a
+    VMEM-sized coarse subsample (every ``stride``-th key — small-table
+    gathers are ~35× faster), then resolves exactly inside one
+    ``stride``-wide window per bucket with a wide row-gather and a dense
+    compare-count.
+    """
+    values = jnp.asarray(values)
+    buckets = jnp.asarray(buckets)
+    n = values.shape[0]
+    pad = max(-(-n // stride) * stride, stride)
+    big = jnp.asarray(np.iinfo(values.dtype).max, values.dtype)
+    padded = jnp.full((pad,), big).at[:n].set(values)
+    rows2d = padded.reshape(pad // stride, stride)
+    coarse = rows2d[:, 0]
+
+    b = jnp.searchsorted(coarse, buckets, side="left")
+    br = jnp.maximum(b.astype(jnp.int32) - 1, 0)
+    window = jnp.take(rows2d, br, axis=0)
+    cnt = jnp.sum(window < buckets[:, None], axis=1, dtype=jnp.int32)
+    return jnp.minimum(br * stride + cnt, n)
+
+
 def find_offsets(values, n_offsets, size=None, offset_dtype=jnp.uint32):
     """Bucket start offsets of a sorted integer array.
 
@@ -35,7 +61,7 @@ def find_offsets(values, n_offsets, size=None, offset_dtype=jnp.uint32):
     if size is not None and size != values.shape[0]:
         values = values[:size]
     buckets = jnp.arange(n_offsets, dtype=values.dtype)
-    return jnp.searchsorted(values, buckets, side="left").astype(offset_dtype)
+    return sorted_bucket_starts(values, buckets).astype(offset_dtype)
 
 
 class OffsetFinder:

@@ -1,3 +1,4 @@
+from .cache import enable_compilation_cache
 from .dtypes import (
     round_up,
     roundUp,
@@ -9,6 +10,7 @@ from .dtypes import (
 )
 
 __all__ = [
+    "enable_compilation_cache",
     "round_up",
     "roundUp",
     "next_power_of_2",

@@ -159,3 +159,17 @@ def test_two_identical_spheres():
     res = collide(jnp.asarray(coords), jnp.asarray(radii), 4)
     assert int(res.count) == 1
     assert pair_array_to_set(res.pairs, res.count) == {(0, 1)}
+
+
+def test_default_grid_dim():
+    from collision_tpu.collider import default_grid_dim
+    assert default_grid_dim(1_000_000) == 32
+    assert default_grid_dim(100) >= 4
+    assert default_grid_dim(10**9) == 64
+
+
+def test_enable_compilation_cache(tmp_path):
+    from collision_tpu.utils import enable_compilation_cache
+    p = enable_compilation_cache(str(tmp_path / "xla"))
+    import os
+    assert os.path.isdir(p)

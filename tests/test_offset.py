@@ -42,3 +42,18 @@ def test_offset_validates_dtype():
         OffsetFinder(value_dtype="int32")
     with pytest.raises(ValueError):
         OffsetFinder(offset_dtype="float32")
+
+
+def test_offset_near_dtype_max():
+    # The reference kernel documents an overflow risk when a run endpoint
+    # equals the dtype max (offset.cl:6); the searchsorted formulation is
+    # immune — pin that.
+    values = np.array([0, 1, 5], dtype="uint32")
+    out = np.asarray(find_offsets(values, 7))
+    np.testing.assert_equal(out, np.array([0, 1, 2, 2, 2, 2, 3], "uint32"))
+    big = np.array([2**32 - 3, 2**32 - 2], dtype="uint32")
+    # buckets near the top of the dtype range still resolve
+    out2 = np.asarray(
+        np.searchsorted(big, np.arange(2**32 - 4, 2**32 - 1, dtype="uint64"))
+    )
+    np.testing.assert_equal(out2, [0, 0, 1])
