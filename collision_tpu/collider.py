@@ -75,11 +75,25 @@ GRID_AUTO_THRESHOLD = 65536
 GRID_MAX_CAPACITY = 262144
 
 
-def default_grid_dim(n, target_occupancy=30):
-    """Cells per axis giving ~``target_occupancy`` spheres per cell for
-    uniform scenes — the measured sweet spot on v5e is mean occupancy
-    ~30 with cell capacity 64 (see docs/design.md)."""
-    return int(min(max(round((n / target_occupancy) ** (1 / 3)), 4), 64))
+def default_grid_config(n, target_occupancy=72):
+    """(grid_dim, cell_capacity) for ~``target_occupancy`` spheres per cell.
+
+    Measured on v5e at 1M spheres: per-grid-step overhead (~30 µs of DMA
+    issue per swept column) makes coarser grids win until tile compute
+    takes over — grid_dim 24 / capacity ~112-120 beat the naive 32/64 by
+    ~20% (docs/design.md). Capacity is sized ~5 Poisson sigmas above the
+    mean occupancy so uniform scenes don't trip the overflow retry.
+    """
+    gd = int(min(max(round((n / target_occupancy) ** (1 / 3)), 4), 64))
+    occ = n / gd ** 3
+    mc = int(round_up(int(occ + 5 * occ ** 0.5 + 4), 8))
+    mc = max(16, min(mc, max(16, round_up(n, 8))))
+    return gd, mc
+
+
+def default_grid_dim(n, target_occupancy=72):
+    """Cells per axis for ~``target_occupancy`` spheres per cell."""
+    return default_grid_config(n, target_occupancy)[0]
 
 
 def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
@@ -121,7 +135,7 @@ def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
 @partial(jax.jit, static_argnames=(
     "capacity", "stack_depth", "method", "grid_dim", "cell_capacity"))
 def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
-            grid_dim=32, cell_capacity=64):
+            grid_dim=None, cell_capacity=None):
     """One fully-jitted broad-phase step.
 
     Args:
@@ -131,11 +145,12 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
       stack_depth: static traversal-stack depth (reference uses 64).
       method: "bvh" (LBVH build + lockstep traversal, the reference
         architecture re-designed for XLA), "grid" (dense uniform-grid
-        stencil — the TPU fast path, count-only for now), or "auto"
-        (grid for large count-only workloads, BVH otherwise).
-      grid_dim, cell_capacity: static grid knobs (see grid.py); on grid
-        cell overflow the result's ``ok`` is False and the caller retries
-        with a larger ``cell_capacity``.
+        stencil + Pallas kernels — the TPU fast path), or "auto"
+        (grid for large workloads, BVH otherwise).
+      grid_dim, cell_capacity: static grid knobs (see grid.py); None
+        resolves measured-sweet-spot defaults from n at trace time
+        (default_grid_config). On grid cell overflow the result's ``ok``
+        is False and the caller retries with a larger ``cell_capacity``.
 
     Returns:
       :class:`CollisionResult`.
@@ -143,6 +158,11 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
     coords = jnp.asarray(coords)
     radii = jnp.asarray(radii)
     n = coords.shape[0]
+
+    if grid_dim is None or cell_capacity is None:
+        auto_gd, auto_mc = default_grid_config(n)
+        grid_dim = auto_gd if grid_dim is None else grid_dim
+        cell_capacity = auto_mc if cell_capacity is None else cell_capacity
 
     if method == "auto":
         method = (
@@ -206,7 +226,7 @@ class Collider:
         self.ngroups = ngroups
         self.group_size = group_size
         self.coord_dtype = coord_dtype
-        self._cell_capacity = 64
+        self._cell_capacity = 16
 
     @property
     def n_nodes(self):
@@ -257,8 +277,8 @@ class Collider:
         # reallocate-and-retry on resize, collision.py:84-119), falling
         # back to the always-exact BVH engine when cells degenerate.
         capacity = int(n_collisions)
-        cell_capacity = self._cell_capacity
-        grid_dim = default_grid_dim(self.size)
+        grid_dim, auto_mc = default_grid_config(self.size)
+        cell_capacity = max(self._cell_capacity, auto_mc)
         while True:
             result = collide(
                 coords, radii, capacity, method="auto",

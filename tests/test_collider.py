@@ -161,11 +161,14 @@ def test_two_identical_spheres():
     assert pair_array_to_set(res.pairs, res.count) == {(0, 1)}
 
 
-def test_default_grid_dim():
-    from collision_tpu.collider import default_grid_dim
-    assert default_grid_dim(1_000_000) == 32
+def test_default_grid_config():
+    from collision_tpu.collider import default_grid_config, default_grid_dim
+    gd, mc = default_grid_config(1_000_000)
+    assert gd == 24 and 96 <= mc <= 136
     assert default_grid_dim(100) >= 4
     assert default_grid_dim(10**9) == 64
+    gd2, mc2 = default_grid_config(100)
+    assert mc2 >= 16
 
 
 def test_enable_compilation_cache(tmp_path):
