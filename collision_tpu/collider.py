@@ -118,7 +118,14 @@ def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
 
     bins, ok, _ = build_grid(coords, radii, grid_dim, cell_capacity)
     if capacity == 0:
-        _, total = halo_pairs(bins, grid_dim, cell_capacity, 0)
+        if grid_dim % 2 == 0:
+            # Two y-columns per grid step: halves the per-step DMA-issue
+            # overhead that dominates at tuned grid shapes.
+            from .kernels.batched import batched_count
+
+            total = batched_count(bins, grid_dim, cell_capacity)
+        else:
+            _, total = halo_pairs(bins, grid_dim, cell_capacity, 0)
         return CollisionResult(
             total.astype(jnp.uint32), None, lo_scene, hi_scene, ok=ok
         )

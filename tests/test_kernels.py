@@ -66,3 +66,15 @@ def test_halo_overflow_contract():
     assert int(total) == len(expected)
     got = set(map(tuple, np.sort(np.asarray(pairs)[:3], axis=1)))
     assert got <= expected
+
+
+@pytest.mark.parametrize("n,gd,mc", [(500, 8, 16), (300, 4, 64)])
+def test_batched_count(n, gd, mc):
+    from collision_tpu.kernels.batched import batched_count
+
+    rng = np.random.RandomState(n)
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 1.5 / np.sqrt(n), n).astype("float32")
+    expected = len(brute_force_collisions(coords, radii))
+    bins, ok, _ = build_grid(jnp.asarray(coords), jnp.asarray(radii), gd, mc)
+    assert int(batched_count(bins, gd, mc, interpret=True)) == expected
