@@ -32,32 +32,38 @@ def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
       capacity: 0 counts collisions per step (the sim-loop benchmark shape);
         > 0 additionally returns the final step's pairs.
       method: collide engine per step — "bvh" (always exact) or "grid"
-        (dense fast path; a cell-capacity overflow would surface via the
-        per-step ok flags being False, see grid.py).
+        (dense fast path; static-capacity overflow in any step surfaces
+        via the returned ``ok`` flag, see grid.py).
 
     Returns:
-      (final_coords, final_velocities, counts[n_steps]) and, when
-      capacity > 0, the final step's pairs as a fourth element.
+      (final_coords, final_velocities, counts[n_steps], ok) and, when
+      capacity > 0, the final step's pairs inserted before ``ok``.
+      ``ok`` is False if any step's grid capacities overflowed (counts
+      would be under-reported); the BVH engine always returns True.
     """
     coords = jnp.asarray(coords)
     velocities = jnp.asarray(velocities)
     radii = jnp.asarray(radii)
 
     def step(carry, _):
-        c, v = carry
+        c, v, ok = carry
         c = c + v * dt
         # Reflect off the walls.
         over = c > hi
         under = c < lo
         c = jnp.where(over, 2 * hi - c, jnp.where(under, 2 * lo - c, c))
         v = jnp.where(over | under, -v, v)
-        count = collide(c, radii, 0, method=method).count
-        return (c, v), count
+        res = collide(c, radii, 0, method=method)
+        if res.ok is not None:
+            ok = ok & res.ok
+        return (c, v, ok), res.count
 
-    (coords, velocities), counts = jax.lax.scan(
-        step, (coords, velocities), None, length=n_steps
+    (coords, velocities, ok), counts = jax.lax.scan(
+        step, (coords, velocities, jnp.bool_(True)), None, length=n_steps
     )
     if capacity:
         res = collide(coords, radii, capacity)
-        return coords, velocities, counts, res.pairs
-    return coords, velocities, counts
+        if res.ok is not None:
+            ok = ok & res.ok
+        return coords, velocities, counts, res.pairs, ok
+    return coords, velocities, counts, ok

@@ -25,10 +25,11 @@ def test_simulate_counts_match_oracle():
     velocities = rng.uniform(-1, 1, (n, 3)).astype("float32")
     radii = rng.uniform(0, 1 / np.sqrt(n), n).astype("float32")
 
-    final_c, final_v, counts = simulate(
+    final_c, final_v, counts, ok = simulate(
         jnp.asarray(coords), jnp.asarray(velocities), jnp.asarray(radii),
         n_steps=steps,
     )
+    assert bool(ok)
     counts = np.asarray(counts)
 
     c, v = coords, velocities
@@ -45,9 +46,10 @@ def test_simulate_final_pairs():
     velocities = rng.uniform(-1, 1, (n, 3)).astype("float32")
     radii = rng.uniform(0, 0.2, n).astype("float32")
 
-    final_c, final_v, counts, pairs = simulate(
+    final_c, final_v, counts, pairs, ok = simulate(
         jnp.asarray(coords), jnp.asarray(velocities), jnp.asarray(radii),
         n_steps=3, capacity=4096,
     )
+    assert bool(ok)
     expected = brute_force_collisions(np.asarray(final_c), radii)
     assert pair_array_to_set(pairs, min(len(expected), 4096)) == expected
