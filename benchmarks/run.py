@@ -75,6 +75,14 @@ def main():
                bench(joff, values))
 
     # --- full collide pipeline, count-only ---
+    # The reference benchmark's rmax=0.06 radii force grid cells of size
+    # 2*rmax = 0.12 (only ~9³ effective cells at these densities), so the
+    # static cell capacity overflows and collide() flags ok=False rather
+    # than return a wrong count. Use the Collider, whose host-side retry
+    # doubles the capacity until the result is exact — the same
+    # reallocate-and-retry contract the reference's resize path has.
+    from collision_tpu import Collider
+
     on_tpu = jax.devices()[0].platform != "cpu"
     collide_sizes = [307200, 307201] if not args.quick else [65536]
     if on_tpu and not args.quick:
@@ -85,10 +93,13 @@ def main():
             rng.uniform(0, 0.06 if n <= 307201 else 1 / n ** 0.5, n)
             .astype("float32")
         )
-        fn = jax.jit(lambda c, r: collide(c, r, 0).count)
-        stats = bench(fn, coords, radii, rounds=5)
+        collider = Collider(n)
+        fn = lambda c, r: collider.get_collisions(c, r, 0, collisions=None)  # noqa: E731
+        stats = bench(fn, coords, radii, rounds=5,
+                      probe=lambda r: r.reshape(1))
         report("collide count-only n={}".format(n), stats,
-               extra="(count={})".format(int(fn(coords, radii))))
+               extra="(count={}, target_occ={})".format(
+                   int(fn(coords, radii)), collider._target_occupancy))
 
 
 if __name__ == "__main__":

@@ -96,6 +96,20 @@ def default_grid_dim(n, target_occupancy=72):
     return default_grid_config(n, target_occupancy)[0]
 
 
+def _halo_vmem_bytes(grid_dim, cell_capacity, batched):
+    """Rough VMEM footprint of the counting-sweep kernels (double-buffered
+    center columns dominate; the 8-wide minor dim pads to 128 lanes)."""
+    gp = grid_dim + 2
+    center = gp * cell_capacity * 128 * 4
+    lane = gp * 8 * round_up(cell_capacity, 128) * 4
+    if batched:
+        return 2 * (2 * center) + 12 * 2 * lane
+    return 2 * center + 9 * 2 * lane
+
+
+_VMEM_BUDGET = 12 * 2 ** 20
+
+
 def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
                   lo_scene, hi_scene):
     """Grid-engine frame: dense binning + halo-kernel count/emit.
@@ -116,9 +130,22 @@ def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
         )
         return CollisionResult(out.total, None, lo_scene, hi_scene, ok=out.ok)
 
+    if capacity == 0 and _halo_vmem_bytes(
+        grid_dim, cell_capacity, batched=False
+    ) > _VMEM_BUDGET:
+        # Huge cell capacities (dense scenes after overflow retries) exceed
+        # the sweep kernels' VMEM; the XLA stencil chunks arbitrarily and
+        # stays exact, just slower.
+        out = grid_count(
+            coords, radii, grid_dim=grid_dim, cell_capacity=cell_capacity
+        )
+        return CollisionResult(out.total, None, lo_scene, hi_scene, ok=out.ok)
+
     bins, ok, _ = build_grid(coords, radii, grid_dim, cell_capacity)
     if capacity == 0:
-        if grid_dim % 2 == 0:
+        if grid_dim % 2 == 0 and _halo_vmem_bytes(
+            grid_dim, cell_capacity, batched=True
+        ) <= _VMEM_BUDGET:
             # Two y-columns per grid step: halves the per-step DMA-issue
             # overhead that dominates at tuned grid shapes.
             from .kernels.batched import batched_count
@@ -177,6 +204,12 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
             if (n >= GRID_AUTO_THRESHOLD and capacity <= GRID_MAX_CAPACITY)
             else "bvh"
         )
+        if capacity > 0 and _halo_vmem_bytes(
+            grid_dim, cell_capacity, batched=False
+        ) > _VMEM_BUDGET:
+            # Pair emission needs the Pallas sweep; at VMEM-exceeding cell
+            # capacities fall back to the always-exact BVH engine.
+            method = "bvh"
 
     lo_scene, hi_scene = scene_bounds(coords)
     if n == 1:
@@ -233,7 +266,7 @@ class Collider:
         self.ngroups = ngroups
         self.group_size = group_size
         self.coord_dtype = coord_dtype
-        self._cell_capacity = 16
+        self._target_occupancy = 72
 
     @property
     def n_nodes(self):
@@ -279,25 +312,27 @@ class Collider:
                     (self.size, 3), coords.shape
                 )
             )
-        # Prefer the dense grid engine, growing its cell capacity on
-        # overflow (host-side retry, like the reference's
-        # reallocate-and-retry on resize, collision.py:84-119), falling
-        # back to the always-exact BVH engine when cells degenerate.
+        # Prefer the dense grid engine; on cell overflow retry with a
+        # 4x-higher target occupancy (coarser grid, deeper cells — dense
+        # scenes with large radii have few effective cells, so capacity
+        # must grow while grid_dim shrinks). Host-side retry mirrors the
+        # reference's reallocate-and-retry resize (collision.py:84-119);
+        # the BVH engine is the exact last resort.
         capacity = int(n_collisions)
-        grid_dim, auto_mc = default_grid_config(self.size)
-        cell_capacity = max(self._cell_capacity, auto_mc)
+        occ = self._target_occupancy
         while True:
+            grid_dim, cell_capacity = default_grid_config(self.size, occ)
             result = collide(
                 coords, radii, capacity, method="auto",
                 grid_dim=grid_dim, cell_capacity=cell_capacity,
             )
             if result.ok is None or bool(result.ok):
-                self._cell_capacity = cell_capacity
+                self._target_occupancy = occ
                 break
             if cell_capacity >= self.size:
                 result = collide(coords, radii, capacity, method="bvh")
                 break
-            cell_capacity *= 2
+            occ *= 4
         if collisions is None or n_collisions == 0:
             return result.count
         return result.count, result.pairs
