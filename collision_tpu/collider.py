@@ -63,9 +63,14 @@ class CollisionResult(NamedTuple):
 
     @property
     def overflowed(self):
-        """True when count exceeded the pair-buffer capacity."""
-        cap = 0 if self.pairs is None else self.pairs.shape[0]
-        return self.count > cap
+        """True when count exceeded the pair-buffer capacity.
+
+        Count-only results (pairs is None) never overflow — there is no
+        buffer to overflow; the count is always the exact total.
+        """
+        if self.pairs is None:
+            return False
+        return self.count > self.pairs.shape[0]
 
 
 #: n at or above which "auto" prefers the dense grid engine.
@@ -115,8 +120,11 @@ def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
     """Grid-engine frame: dense binning + halo-kernel count/emit.
 
     On TPU with float32 coords the fused Pallas halo kernel runs compiled;
-    elsewhere (CPU tests, float64) counting uses the XLA stencil and pair
-    emission falls back to the Pallas interpreter — same results, portable.
+    on CPU (tests) counting uses the XLA stencil and float32 pair emission
+    falls back to the Pallas interpreter — same results, portable. Pair
+    *emission* requires float32 (the kernels extract sphere ids from f32
+    bitcast lanes); non-f32 emission requests are routed to the BVH engine
+    by :func:`collide`, which produces the identical pair set.
     """
     from .grid import build_grid, grid_count
     from .kernels.emit import grid_fill
@@ -210,6 +218,11 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
             # Pair emission needs the Pallas sweep; at VMEM-exceeding cell
             # capacities fall back to the always-exact BVH engine.
             method = "bvh"
+    if method == "grid" and capacity > 0 and coords.dtype != jnp.float32:
+        # The emission kernels read sphere ids back out of f32 bitcast
+        # lanes; wider dtypes have no compiled emission path. The BVH
+        # engine yields the identical pair set (tests sort both).
+        method = "bvh"
 
     lo_scene, hi_scene = scene_bounds(coords)
     if n == 1:
@@ -262,11 +275,31 @@ class Collider:
         coord_dtype = np.dtype(coord_dtype)
         if coord_dtype.kind != "f":
             raise ValueError("Invalid dtype: {}".format(coord_dtype))
+        self._check_params(size, ngroups, group_size)
         self.size = size
         self.ngroups = ngroups
         self.group_size = group_size
         self.coord_dtype = coord_dtype
         self._target_occupancy = 72
+
+    @staticmethod
+    def _check_params(size, ngroups, group_size):
+        """Eager parameter validation, mirroring the reference's size/shape
+        checks (collision.py:84-119, radix.py:61-74): sizes are positive
+        integers; group sizes are powers of two (the reference's scan/sort
+        granularity constraint — kept so invalid configs fail here instead
+        of as confusing downstream shape errors)."""
+        if not isinstance(size, (int, np.integer)) or size < 1:
+            raise ValueError("Invalid size: {!r}".format(size))
+        if not isinstance(ngroups, (int, np.integer)) or ngroups < 1:
+            raise ValueError("Invalid ngroups: {!r}".format(ngroups))
+        if (not isinstance(group_size, (int, np.integer)) or group_size < 1
+                or (group_size & (group_size - 1)) != 0):
+            raise ValueError(
+                "group_size must be a positive power of two, got {!r}".format(
+                    group_size
+                )
+            )
 
     @property
     def n_nodes(self):
@@ -282,12 +315,28 @@ class Collider:
         return round_up(self.size, 2 * self.group_size)
 
     def resize(self, size=None, ngroups=None, group_size=None, radix_bits=None):
-        if size is not None:
-            self.size = size
-        if ngroups is not None:
-            self.ngroups = ngroups
-        if group_size is not None:
-            self.group_size = group_size
+        """Revalidate-and-apply, rolling back on failure — the reference
+        revalidates every derived quantity and restores prior state when a
+        new configuration is invalid (collision.py:84-119, radix.py:93-97).
+        """
+        new_size = self.size if size is None else size
+        new_ngroups = self.ngroups if ngroups is None else ngroups
+        new_group_size = self.group_size if group_size is None else group_size
+        # Raises before any state is mutated: rollback by construction.
+        self._check_params(new_size, new_ngroups, new_group_size)
+        if radix_bits is not None:
+            # Parity with the reference's radix_bits constraint
+            # (radix.py:61-74): must divide the 32-bit key width and fit
+            # the per-tile bucket budget.
+            if (not isinstance(radix_bits, (int, np.integer))
+                    or radix_bits < 1 or 32 % radix_bits != 0
+                    or 2 ** radix_bits > 2 * new_group_size):
+                raise ValueError(
+                    "Invalid radix_bits: {!r}".format(radix_bits)
+                )
+        self.size = new_size
+        self.ngroups = new_ngroups
+        self.group_size = new_group_size
 
     def get_collisions(self, coords, radii, n_collisions, collisions=True):
         """Run one frame; mirrors reference get_collisions (collision.py:130-198).
@@ -320,8 +369,17 @@ class Collider:
         # the BVH engine is the exact last resort.
         capacity = int(n_collisions)
         occ = self._target_occupancy
+        prev_config = None
         while True:
             grid_dim, cell_capacity = default_grid_config(self.size, occ)
+            if (grid_dim, cell_capacity) == prev_config:
+                # default_grid_config clamps grid_dim to a floor of 4, after
+                # which escalating occupancy returns the identical config
+                # forever — no progress is possible, so the always-exact BVH
+                # engine is the last resort.
+                result = collide(coords, radii, capacity, method="bvh")
+                break
+            prev_config = (grid_dim, cell_capacity)
             result = collide(
                 coords, radii, capacity, method="auto",
                 grid_dim=grid_dim, cell_capacity=cell_capacity,

@@ -62,7 +62,7 @@ def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
         step, (coords, velocities, jnp.bool_(True)), None, length=n_steps
     )
     if capacity:
-        res = collide(coords, radii, capacity)
+        res = collide(coords, radii, capacity, method=method)
         if res.ok is not None:
             ok = ok & res.ok
         return coords, velocities, counts, res.pairs, ok

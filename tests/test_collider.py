@@ -176,3 +176,52 @@ def test_enable_compilation_cache(tmp_path):
     p = enable_compilation_cache(str(tmp_path / "xla"))
     import os
     assert os.path.isdir(p)
+
+
+def test_overflowed_false_in_count_only_mode():
+    # pairs=None means no buffer was requested: nothing can overflow even
+    # when collisions exist (the count is always the exact total).
+    coords, radii = _random_scene(64, "float32")
+    res = collide(jnp.asarray(coords), jnp.asarray(radii), 0)
+    assert int(res.count) > 0
+    assert res.pairs is None
+    assert res.overflowed is False
+
+
+@pytest.mark.parametrize("bad", [
+    {"size": 0}, {"size": -3}, {"size": 2.5},
+    {"ngroups": 0}, {"ngroups": -1},
+    {"group_size": 0}, {"group_size": 3}, {"group_size": 48},
+    {"radix_bits": 5}, {"radix_bits": 0}, {"radix_bits": 64},
+])
+def test_resize_rejects_invalid_and_rolls_back(bad):
+    # The reference revalidates on resize and restores prior state on
+    # failure (collision.py:84-119, radix.py:93-97).
+    collider = Collider(100, 5, 8, "float32")
+    with pytest.raises(ValueError):
+        collider.resize(**bad)
+    assert (collider.size, collider.ngroups, collider.group_size) == (100, 5, 8)
+
+
+@pytest.mark.parametrize("bad", [
+    {"size": 0}, {"ngroups": 0}, {"group_size": 12},
+])
+def test_constructor_rejects_invalid_params(bad):
+    kwargs = {"size": 100, "ngroups": 5, "group_size": 8}
+    kwargs.update(bad)
+    with pytest.raises(ValueError):
+        Collider(**kwargs)
+
+
+def test_retry_terminates_on_unsplittable_cluster():
+    # Regression for the occupancy-escalation retry: when every sphere
+    # lands in one grid cell no cell_capacity below n can hold them, and
+    # default_grid_config bottoms out at grid_dim=4 returning the same
+    # config forever. get_collisions must detect the lack of progress and
+    # break to the exact BVH engine instead of looping.
+    n = 65536  # >= GRID_AUTO_THRESHOLD so "auto" engages the grid engine
+    coords = np.full((n, 3), 0.5, "float32")
+    radii = np.zeros(n, "float32")  # point AABBs: strict overlap = none
+    collider = Collider(n)
+    count = collider.get_collisions(coords, radii, 0, collisions=None)
+    assert int(count) == 0

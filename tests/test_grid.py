@@ -8,7 +8,7 @@ import pytest
 
 from collision_tpu import collide
 from collision_tpu.grid import build_grid, grid_count
-from collision_tpu.testing import brute_force_collisions
+from collision_tpu.testing import brute_force_collisions, pair_array_to_set
 
 
 @pytest.mark.parametrize("n,grid_dim,cell_capacity,rscale", [
@@ -150,3 +150,19 @@ def test_build_grid_ids_roundtrip():
         )
     )
     np.testing.assert_equal(got_ids, np.arange(n, dtype="uint32"))
+
+
+def test_collide_grid_fill_float64():
+    # float64 pair emission has no compiled grid path (ids ride in f32
+    # bitcast lanes); an explicit method="grid" fill request with f64
+    # coords must still return the exact pair set (routed to the BVH
+    # engine), not crash at trace time.
+    rng = np.random.RandomState(7)
+    n = 256
+    coords = rng.random((n, 3)).astype("float64")
+    radii = rng.uniform(0, 1 / np.sqrt(n), n).astype("float64")
+    expected = brute_force_collisions(coords, radii)
+    res = collide(jnp.asarray(coords), jnp.asarray(radii), 4096,
+                  method="grid")
+    assert int(res.count) == len(expected)
+    assert pair_array_to_set(res.pairs, res.count) == expected

@@ -53,3 +53,22 @@ def test_simulate_final_pairs():
     assert bool(ok)
     expected = brute_force_collisions(np.asarray(final_c), radii)
     assert pair_array_to_set(pairs, min(len(expected), 4096)) == expected
+
+
+def test_simulate_final_pairs_grid_method():
+    # The final-pairs pass must honor the per-step engine choice
+    # (method= forwarded), and the grid fill path must agree with the
+    # oracle end-to-end.
+    rng = np.random.RandomState(11)
+    n = 48
+    coords = rng.random((n, 3)).astype("float32")
+    velocities = rng.uniform(-1, 1, (n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.15, n).astype("float32")
+
+    final_c, final_v, counts, pairs, ok = simulate(
+        jnp.asarray(coords), jnp.asarray(velocities), jnp.asarray(radii),
+        n_steps=3, capacity=2048, method="grid",
+    )
+    assert bool(ok)
+    expected = brute_force_collisions(np.asarray(final_c), radii)
+    assert pair_array_to_set(pairs, min(len(expected), 2048)) == expected
