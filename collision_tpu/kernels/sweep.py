@@ -1,0 +1,206 @@
+"""Pallas column-sweep kernel: banded window tests over the sorted stream.
+
+Consumes a :class:`~collision_tpu.columns.ColumnPlan` (z-sorted stream +
+per-chunk window tables, see columns.py) and counts — or, in fill mode,
+emits — every strictly-overlapping AABB pair. This is the round-2
+replacement for the dense z-cell halo sweep (kernels/halo.py): work is
+proportional to the number of z-plausible candidate pairs instead of
+``cell_capacity**2`` per cell pair, and the binning gather disappears —
+the kernel reads the sorted stream directly via a 3-slot ring of x-slab
+DMAs (each slab is DMAed exactly once per sweep; the per-step DMA-issue
+cost that killed per-column DMAs — measured ~6 us each on v5e — is paid
+``gxy + 1`` times total).
+
+Per grid step (one x-row of columns), for each column, for each 64-sphere
+chunk, for each of the 5 half-stencil column offsets, the kernel walks the
+chunk's precomputed z-window row by row (dynamic trip count — no static
+window width): a window row is built with one dynamic lane roll from the
+two stream rows covering it, the chunk's transposed component tile
+broadcasts against it, and the 6-way strict-overlap compare
+(collision.cl:164-166 semantics) accumulates into a vector register.
+
+Contract parity (collider.py docstring): exact unordered unique pairs of
+original ids; in fill mode the true total keeps counting past capacity
+while only ``capacity`` pairs are materialized (collision.cl:203-215),
+written in deterministic ascending sweep order.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..columns import CHUNK, COLUMN_OFFSETS, LANE, ColumnPlan
+
+NO_PAIR = np.uint32(0xFFFFFFFF)
+
+
+def _make_count_kernel(gxy, mc, slab_rows, direct_stream):
+    K = gxy * mc * 5
+
+    def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
+               total_ref, *scratch):
+        if direct_stream:
+            cursor = scratch[0]
+            bufs = sems = None
+        else:
+            bufs, sems, cursor = scratch
+        x = pl.program_id(0)
+
+        if not direct_stream:
+            def start_slab(s, slot):
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[s], slab_rows)],
+                    bufs.at[slot], sems.at[slot]).start()
+
+            @pl.when(x == 0)
+            def _init_dma():
+                start_slab(0, 0)
+                start_slab(1, 1)
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[0], slab_rows)],
+                    bufs.at[0], sems.at[0]).wait()
+
+            # Slab x+1 first becomes visible here; slab x was already
+            # waited on at step x-1 (or in the init block).
+            pltpu.make_async_copy(
+                stream_ref.at[pl.ds(r0_ref[x + 1], slab_rows)],
+                bufs.at[(x + 1) % 3], sems.at[(x + 1) % 3]).wait()
+
+            @pl.when(x + 2 <= gxy)
+            def _prefetch():
+                start_slab(x + 2, (x + 2) % 3)
+
+        @pl.when(x == 0)
+        def _init():
+            cursor[0] = 0
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        sub_full = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+
+        def read_rows2(dx, g):
+            """[2, 8, 128]: the two stream rows covering sphere g, then
+            one dynamic lane roll aligns sphere g to lane 0."""
+            lrow = g // LANE
+            lane0 = g % LANE
+            if direct_stream:
+                two = stream_ref[pl.ds(lrow, 2), :, :]
+            else:
+                slot = jax.lax.rem(x + dx, 3)
+                two = bufs[slot, pl.ds(lrow - r0_ref[x + dx], 2), :, :]
+            rolled = pltpu.roll(two, -lane0, 2)
+            merged = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+                < LANE - lane0,
+                rolled[0], rolled[1],
+            )
+            return merged  # [8, 128]
+
+        def y_body(y, acc):
+            col = x * gxy + y
+            a0 = starts_ref[col]
+            a1 = starts_ref[col + 1]
+            nchunks = jnp.minimum(
+                (a1 - a0 + CHUNK - 1) // CHUNK, mc)
+
+            def k_body(k, acc):
+                g0 = a0 + k * CHUNK
+                alen = jnp.minimum(a1 - g0, CHUNK)
+                a8 = read_rows2(0, g0)              # [8, 128]
+                aT = jnp.swapaxes(a8, 0, 1)         # [128, 8]
+                # Invalid chunk rows -> +inf lows: the strict test can
+                # never pass (subsumes an explicit a-validity mask).
+                aT = jnp.where(sub_full < alen, aT, jnp.inf)
+                axlo = aT[:CHUNK, 0:1]
+                aylo = aT[:CHUNK, 1:2]
+                azlo = aT[:CHUNK, 2:3]
+                axhi = aT[:CHUNK, 3:4]
+                ayhi = aT[:CHUNK, 4:5]
+                azhi = aT[:CHUNK, 5:6]
+                tbase = (y * mc + k) * 5
+
+                def make_row_body(off, dx):
+                    w0 = w0_ref[0, 0, tbase + off]
+                    wcap = wcap_ref[0, 0, tbase + off]
+
+                    def r_body(i, acc):
+                        b8 = read_rows2(dx, w0 + i * LANE)
+                        m = (axhi > b8[0:1, :]) & (axlo < b8[3:4, :])
+                        m &= (ayhi > b8[1:2, :]) & (aylo < b8[4:5, :])
+                        m &= (azhi > b8[2:3, :]) & (azlo < b8[5:6, :])
+                        m &= lane_i < wcap - i * LANE
+                        if off == 0:
+                            jglob = w0 + i * LANE + lane_i
+                            m &= jglob > g0 + sub_c
+                        return acc + jnp.where(m, 1, 0)
+
+                    return w0, wcap, r_body
+
+                for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
+                    w0, wcap, r_body = make_row_body(off, dx)
+                    nrows = (wcap + LANE - 1) // LANE
+                    acc = jax.lax.fori_loop(0, nrows, r_body, acc)
+                return acc
+
+            return jax.lax.fori_loop(0, nchunks, k_body, acc)
+
+        acc = jax.lax.fori_loop(
+            0, gxy, y_body, jnp.zeros((CHUNK, LANE), jnp.int32))
+        cursor[0] = cursor[0] + jnp.sum(acc)
+
+        @pl.when(x == pl.num_programs(0) - 1)
+        def _finish():
+            total_ref[0] = cursor[0]
+
+    return kernel
+
+
+def sweep_count(plan: ColumnPlan, interpret=False):
+    """Exact pair count from a column plan. Returns int32 scalar."""
+    return _sweep_count(
+        plan.stream, plan.starts, plan.slab_r0, plan.w0, plan.wcap,
+        plan.gxy, plan.mc, plan.slab_rows, interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "gxy", "mc", "slab_rows", "interpret"))
+def _sweep_count(stream, starts, slab_r0, w0_tab, wcap_tab,
+                 gxy, mc, slab_rows, interpret=False):
+    K = gxy * mc * 5
+    direct = bool(interpret)
+    kernel = _make_count_kernel(gxy, mc, slab_rows, direct)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # slab_r0
+        pl.BlockSpec((1, 1, K), lambda s: (s, 0, 0),
+                     memory_space=pltpu.SMEM),                 # w0
+        pl.BlockSpec((1, 1, K), lambda s: (s, 0, 0),
+                     memory_space=pltpu.SMEM),                 # wcap
+        pl.BlockSpec(memory_space=pltpu.VMEM if direct else pl.ANY),
+    ]
+    scratch = [pltpu.SMEM((1,), jnp.int32)]
+    if not direct:
+        scratch = [
+            pltpu.VMEM((3, slab_rows, 8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((1,), jnp.int32),
+        ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(gxy,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(starts, slab_r0,
+      w0_tab.reshape(gxy, 1, K), wcap_tab.reshape(gxy, 1, K),
+      stream)
+    return out[0]
