@@ -29,8 +29,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from collision_tpu import collide
-    from collision_tpu.collider import default_grid_config
+    from collision_tpu import collide, default_column_config
 
     platform = jax.devices()[0].platform
     default_n = 1_000_000 if platform != "cpu" else 65_536
@@ -44,7 +43,7 @@ def main():
         rng.uniform(0, 1 / n ** 0.5, n).astype("float32")
     )
 
-    grid_dim, cell_capacity = default_grid_config(n)
+    gxy, col_cap, slab_rows = default_column_config(n)
 
     @partial(jax.jit, static_argnames=("k",))
     def chain(coords, radii, k):
@@ -52,8 +51,8 @@ def main():
         # no step can be folded away, then depends on the previous count.
         def body(i, carry):
             acc, c = carry
-            res = collide(c, radii, 0, grid_dim=grid_dim,
-                          cell_capacity=cell_capacity)
+            res = collide(c, radii, 0, method="column", gxy=gxy,
+                          col_capacity=col_cap, slab_rows=slab_rows)
             eps = (res.count % 2).astype(jnp.float32) * 1e-7
             return acc + res.count, coords + eps
         acc, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), coords))

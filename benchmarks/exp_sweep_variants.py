@@ -9,7 +9,8 @@ from functools import partial
 import numpy as np
 
 
-def make_kernel(gxy, mc, slab_rows, use_roll, acc8, do_tests, six_only):
+def make_kernel(gxy, mc, slab_rows, use_roll, acc8, do_tests, six_only,
+                static_rpw=0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -65,7 +66,8 @@ def make_kernel(gxy, mc, slab_rows, use_roll, acc8, do_tests, six_only):
 
         def read_raw(dx, lrow):
             slot = jax.lax.rem(x + dx, 3)
-            return bufs[slot, lrow - r0_ref[x + dx], pl.ds(0, nrows_comp), :]
+            l = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 1)
+            return bufs[slot, l, pl.ds(0, nrows_comp), :]
 
         ACC = 8 if acc8 else CHUNK
 
@@ -111,6 +113,16 @@ def make_kernel(gxy, mc, slab_rows, use_roll, acc8, do_tests, six_only):
                 for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
                     w0 = w0_ref[0, 0, tbase + off]
                     wcap = wcap_ref[0, 0, tbase + off]
+                    if static_rpw:
+                        row_lo = w0 // LANE
+                        for r in range(static_rpw):
+                            lrow = row_lo + r
+                            b8 = read_raw(dx, lrow)
+                            jglob = lrow * LANE + lane_i
+                            lanemask = (jglob >= w0) & (jglob < w0 + wcap)
+                            m = tests(b8, lanemask, jglob, off)
+                            acc = add(acc, m)
+                        continue
                     if use_roll:
                         nrows = (wcap + LANE - 1) // LANE
 
@@ -237,6 +249,12 @@ def main():
                                 do_tests=True, six_only=False)),
         ("raw rows, acc8, 6comp", dict(use_roll=False, acc8=True,
                                        do_tests=True, six_only=True)),
+        ("static rpw=2, acc8", dict(use_roll=False, acc8=True,
+                                    do_tests=True, six_only=True,
+                                    static_rpw=2)),
+        ("static rpw=2 unroll-k", dict(use_roll=False, acc8=True,
+                                       do_tests=True, six_only=True,
+                                       static_rpw=2)),
     ]
     import sys
     sel = [int(a) for a in sys.argv[1:]] or list(range(len(variants)))

@@ -1,23 +1,60 @@
 """Minimal benchmark harness (pytest-benchmark is not available here).
 
 Mirrors the reference's pedantic-mode methodology
-(/root/reference/tests/benchmarks: warmup rounds, explicit timed rounds,
-synchronization before/after) with ``block-by-fetch`` synchronization —
-on this environment's TPU backend ``block_until_ready`` does not actually
-block, so a tiny device-to-host fetch of each result forces completion.
+(/root/reference/tests/benchmarks: warmup rounds, explicit timed rounds)
+with **chained on-device timing**: on this environment's remote TPU
+backend ``block_until_ready`` does not actually block and every
+device-to-host fetch pays a ~25-30 ms tunnel round-trip, so wall-clock
+around a single call measures the tunnel, not the device. Instead the
+step under test is iterated K times inside one jit with a data dependency
+between iterations (so XLA cannot fold or overlap them), and the per-step
+time is the difference between a K+1-chain and a 1-chain around one fetch
+each — cancelling both the round-trip and dispatch overheads.
 """
 
 import time
+from functools import partial
 
 import numpy as np
 
 
-def bench(fn, *args, rounds=10, warmup=3, probe=None):
-    """Run fn(*args) warmup+rounds times; returns dict of timing stats (ms).
+def bench_chained(step, args, rounds=10, repeats=3):
+    """Per-step milliseconds of ``args -> step(i, args) -> args``.
 
-    ``probe`` maps the result pytree to a small array fetched to host to
-    force completion (defaults to the first leaf).
+    ``step`` must return a pytree of the same structure/shapes as
+    ``args`` and must make iteration k+1 depend on k's *values* (e.g.
+    perturb an input by a result-derived epsilon) so the chain cannot be
+    folded.
     """
+    import jax
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(args, k):
+        return jax.lax.fori_loop(0, k, step, args)
+
+    def probe(tree):
+        return np.asarray(jax.tree_util.tree_leaves(tree)[0].ravel()[:1])
+
+    def run(k):
+        probe(chain(args, k))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t = time.perf_counter()
+            probe(chain(args, k))
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    t1 = run(1)
+    tn = run(rounds + 1)
+    return {
+        "ms": max((tn - t1) / rounds * 1e3, 0.0),
+        "rounds": rounds,
+    }
+
+
+def bench(fn, *args, rounds=10, warmup=3, probe=None):
+    """Wall-clock per call around a tiny fetch (includes the host/tunnel
+    round-trip — use ``bench_chained`` for device time)."""
     import jax
 
     if probe is None:
@@ -43,9 +80,13 @@ def bench(fn, *args, rounds=10, warmup=3, probe=None):
 
 
 def report(name, stats, extra=""):
-    print(
-        "{:<44s} min {:>9.3f} ms   median {:>9.3f} ms {}".format(
-            name, stats["min_ms"], stats["median_ms"], extra
-        ),
-        flush=True,
-    )
+    if "ms" in stats:
+        print("{:<44s} {:>9.3f} ms/step {}".format(name, stats["ms"], extra),
+              flush=True)
+    else:
+        print(
+            "{:<44s} min {:>9.3f} ms   median {:>9.3f} ms {}".format(
+                name, stats["min_ms"], stats["median_ms"], extra
+            ),
+            flush=True,
+        )

@@ -14,6 +14,8 @@ submodule imports), the public surface is re-exported here.
 """
 
 from .collider import Collider, CollisionResult, collide
+from .columns import ColumnPlan, default_column_config, plan_columns
+from .fill import candidate_count, run_fill
 from .grid import GridCounts, build_grid, grid_count
 from .sim import simulate
 from .lbvh import LBVH, NO_NODE, build, leaf_bounds, refit
@@ -53,6 +55,11 @@ __all__ = [
     "Collider",
     "CollisionResult",
     "collide",
+    "ColumnPlan",
+    "default_column_config",
+    "plan_columns",
+    "candidate_count",
+    "run_fill",
     "GridCounts",
     "build_grid",
     "grid_count",

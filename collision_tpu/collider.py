@@ -73,11 +73,17 @@ class CollisionResult(NamedTuple):
         return self.count > self.pairs.shape[0]
 
 
-#: n at or above which "auto" prefers the dense grid engine.
+#: n at or above which "auto" prefers the column engine.
 GRID_AUTO_THRESHOLD = 65536
+COLUMN_AUTO_THRESHOLD = GRID_AUTO_THRESHOLD
 
-#: Largest pair capacity the grid engine keeps in VMEM during its sweep.
+#: Largest pair capacity the legacy grid engine keeps in VMEM during its
+#: sweep (the column fill engine has no such cap — pairs are assembled in
+#: HBM by the run-expansion pipeline, fill.py).
 GRID_MAX_CAPACITY = 262144
+
+#: Default static rows-per-window for the column count sweep.
+DEFAULT_RPW = 2
 
 
 def default_grid_config(n, target_occupancy=72):
@@ -174,10 +180,52 @@ def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
     )
 
 
+def _column_collide(coords, radii, capacity, gxy, col_capacity, slab_rows,
+                    rpw, cand_capacity, lo_scene, hi_scene):
+    """Column-engine frame (the round-2 TPU fast path).
+
+    Count-only on TPU/float32 runs the Pallas banded-window sweep
+    (kernels/sweep.py) over the z-sorted column plan; elsewhere — and for
+    every fill request — the scatter-free run-expansion pipeline
+    (fill.py) counts/enumerates at input precision with no capacity cap.
+    ``ok`` is False when a static knob (column/slab capacity, static
+    rows-per-window, candidate bound) was insufficient; the plan's exact
+    stats let the host retry once with exact knobs (Collider does this).
+    """
+    from .columns import plan_columns
+    from .fill import run_fill
+    from .kernels.sweep import sweep_count
+
+    on_tpu = jax.default_backend() == "tpu" and coords.dtype == jnp.float32
+    if capacity == 0 and on_tpu:
+        plan = plan_columns(
+            jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
+            gxy, col_capacity, slab_rows,
+        )
+        count = sweep_count(plan, rpw=rpw)
+        ok = plan.ok & (plan.rows_needed <= rpw)
+        return CollisionResult(
+            count.astype(jnp.uint32), None, lo_scene, hi_scene, ok=ok)
+    pairs, total, ok = run_fill(coords, radii, capacity, gxy, cand_capacity)
+    return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
+
+
+def default_cand_capacity(n, capacity):
+    """Static bound on the fill pipeline's conservative candidates.
+
+    Sized for uniform scenes (~30 conservative candidates per sphere at
+    the default column occupancy); the ``ok`` retry contract covers
+    denser scenes.
+    """
+    return max(1 << 17, 8 * capacity, 32 * n)
+
+
 @partial(jax.jit, static_argnames=(
-    "capacity", "stack_depth", "method", "grid_dim", "cell_capacity"))
+    "capacity", "stack_depth", "method", "grid_dim", "cell_capacity",
+    "gxy", "col_capacity", "slab_rows", "rpw", "cand_capacity"))
 def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
-            grid_dim=None, cell_capacity=None):
+            grid_dim=None, cell_capacity=None, gxy=None, col_capacity=None,
+            slab_rows=None, rpw=DEFAULT_RPW, cand_capacity=None):
     """One fully-jitted broad-phase step.
 
     Args:
@@ -185,14 +233,21 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
       radii:  [n] float sphere radii.
       capacity: static pair-buffer capacity; 0 = count-only.
       stack_depth: static traversal-stack depth (reference uses 64).
-      method: "bvh" (LBVH build + lockstep traversal, the reference
-        architecture re-designed for XLA), "grid" (dense uniform-grid
-        stencil + Pallas kernels — the TPU fast path), or "auto"
-        (grid for large workloads, BVH otherwise).
-      grid_dim, cell_capacity: static grid knobs (see grid.py); None
-        resolves measured-sweet-spot defaults from n at trace time
-        (default_grid_config). On grid cell overflow the result's ``ok``
-        is False and the caller retries with a larger ``cell_capacity``.
+      method: "column" (z-sorted column sweep + run-expansion fill — the
+        TPU fast path, columns.py/fill.py), "bvh" (LBVH build + lockstep
+        traversal, the reference architecture re-designed for XLA),
+        "grid" (round-1 dense uniform-grid stencil + Pallas kernels,
+        kept for parity), or "auto" (column for large workloads, BVH
+        otherwise).
+      grid_dim, cell_capacity: static legacy-grid knobs (see grid.py).
+      gxy, col_capacity, slab_rows, rpw: static column-sweep knobs
+        (columns.py); None resolves defaults from n at trace time.
+      cand_capacity: static candidate bound of the fill pipeline
+        (fill.py); None resolves default_cand_capacity.
+
+    On any static-knob overflow the result's ``ok`` is False and the
+    caller retries with larger knobs (Collider automates this using the
+    plan's exact stats).
 
     Returns:
       :class:`CollisionResult`.
@@ -205,24 +260,23 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
         auto_gd, auto_mc = default_grid_config(n)
         grid_dim = auto_gd if grid_dim is None else grid_dim
         cell_capacity = auto_mc if cell_capacity is None else cell_capacity
+    if gxy is None or col_capacity is None or slab_rows is None:
+        from .columns import default_column_config
+
+        auto = default_column_config(n)
+        gxy = auto[0] if gxy is None else gxy
+        col_capacity = auto[1] if col_capacity is None else col_capacity
+        slab_rows = auto[2] if slab_rows is None else slab_rows
+    if cand_capacity is None:
+        cand_capacity = default_cand_capacity(n, capacity)
 
     if method == "auto":
-        method = (
-            "grid"
-            if (n >= GRID_AUTO_THRESHOLD and capacity <= GRID_MAX_CAPACITY)
-            else "bvh"
-        )
-        if capacity > 0 and _halo_vmem_bytes(
-            grid_dim, cell_capacity, batched=False
-        ) > _VMEM_BUDGET:
-            # Pair emission needs the Pallas sweep; at VMEM-exceeding cell
-            # capacities fall back to the always-exact BVH engine.
-            method = "bvh"
+        method = "column" if n >= COLUMN_AUTO_THRESHOLD else "bvh"
     if method == "grid" and capacity > 0 and coords.dtype != jnp.float32:
-        # The emission kernels read sphere ids back out of f32 bitcast
-        # lanes; wider dtypes have no compiled emission path. The BVH
-        # engine yields the identical pair set (tests sort both).
-        method = "bvh"
+        # The legacy grid emission kernels read sphere ids back out of
+        # f32 bitcast lanes; wider dtypes have no compiled emission path
+        # there. The column fill engine enumerates at input precision.
+        method = "column"
 
     lo_scene, hi_scene = scene_bounds(coords)
     if n == 1:
@@ -232,6 +286,11 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
         )
         return CollisionResult(zero, pairs, lo_scene, hi_scene)
 
+    if method == "column":
+        return _column_collide(
+            coords, radii, capacity, gxy, col_capacity, slab_rows, rpw,
+            cand_capacity, lo_scene, hi_scene,
+        )
     if method == "grid":
         return _grid_collide(
             coords, radii, capacity, grid_dim, cell_capacity,
@@ -280,7 +339,6 @@ class Collider:
         self.ngroups = ngroups
         self.group_size = group_size
         self.coord_dtype = coord_dtype
-        self._target_occupancy = 72
 
     @staticmethod
     def _check_params(size, ngroups, group_size):
@@ -361,36 +419,66 @@ class Collider:
                     (self.size, 3), coords.shape
                 )
             )
-        # Prefer the dense grid engine; on cell overflow retry with a
-        # 4x-higher target occupancy (coarser grid, deeper cells — dense
-        # scenes with large radii have few effective cells, so capacity
-        # must grow while grid_dim shrinks). Host-side retry mirrors the
-        # reference's reallocate-and-retry resize (collision.py:84-119);
-        # the BVH engine is the exact last resort.
+        # One auto attempt; on a static-knob overflow (ok=False) retry
+        # with *exact* knobs read from the engine's own statistics — the
+        # host analog of the reference's reallocate-and-retry resize
+        # (collision.py:84-119). The always-exact BVH engine is the last
+        # resort for scenes no static configuration can hold.
         capacity = int(n_collisions)
-        occ = self._target_occupancy
-        prev_config = None
-        while True:
-            grid_dim, cell_capacity = default_grid_config(self.size, occ)
-            if (grid_dim, cell_capacity) == prev_config:
-                # default_grid_config clamps grid_dim to a floor of 4, after
-                # which escalating occupancy returns the identical config
-                # forever — no progress is possible, so the always-exact BVH
-                # engine is the last resort.
-                result = collide(coords, radii, capacity, method="bvh")
-                break
-            prev_config = (grid_dim, cell_capacity)
-            result = collide(
-                coords, radii, capacity, method="auto",
-                grid_dim=grid_dim, cell_capacity=cell_capacity,
-            )
-            if result.ok is None or bool(result.ok):
-                self._target_occupancy = occ
-                break
-            if cell_capacity >= self.size:
-                result = collide(coords, radii, capacity, method="bvh")
-                break
-            occ *= 4
+        result = collide(coords, radii, capacity, method="auto")
+        if result.ok is not None and not bool(result.ok):
+            result = self._retry_exact(coords, radii, capacity)
         if collisions is None or n_collisions == 0:
             return result.count
         return result.count, result.pairs
+
+    #: Largest candidate bound the fill retry will provision before
+    #: falling back to the BVH engine.
+    CAND_MAX = 1 << 28
+
+    def _retry_exact(self, coords, radii, capacity):
+        """Retry the column engine with exact knobs from its statistics."""
+        from .columns import default_column_config, plan_columns
+        from .fill import candidate_count
+        from .kernels.sweep import RPW_LADDER
+
+        on_tpu = jax.default_backend() == "tpu"
+        f32 = self.coord_dtype == np.float32
+        if capacity == 0 and on_tpu and f32:
+            # Count sweep: the column plan reports the exact column
+            # occupancy / slab height / window row span it needs.
+            gxy, col_cap, slab_rows = default_column_config(self.size)
+            c32 = jnp.asarray(coords, jnp.float32)
+            r32 = jnp.asarray(radii, jnp.float32)
+            for _ in range(3):
+                plan = plan_columns(c32, r32, gxy, col_cap, slab_rows)
+                need_col = int(round_up(int(plan.max_col), 64))
+                need_slab = int(plan.max_slab_rows) + 2
+                need_rpw = int(plan.rows_needed)
+                if (need_col <= col_cap and need_slab <= slab_rows
+                        and need_rpw <= RPW_LADDER[-1]):
+                    rpw = next(r for r in RPW_LADDER if r >= need_rpw)
+                    res = collide(
+                        coords, radii, 0, method="column", gxy=gxy,
+                        col_capacity=col_cap, slab_rows=slab_rows, rpw=rpw,
+                    )
+                    if bool(res.ok):
+                        return res
+                # Stats were computed under too-small capacities; adopt
+                # the exact requirements and re-plan (second pass sees
+                # the full window tables).
+                col_cap = max(col_cap, need_col)
+                slab_rows = max(slab_rows, need_slab)
+            return collide(coords, radii, 0, method="bvh")
+        # Fill (or CPU/f64 count): the run-expansion pipeline needs a
+        # larger candidate bound; its exact requirement is one cheap
+        # (expansion-free) evaluation away.
+        gxy = default_column_config(self.size)[0]
+        needed = float(candidate_count(coords, radii, gxy))
+        cand = int(needed * 1.02) + 1024
+        if needed < self.CAND_MAX:
+            res = collide(coords, radii, capacity, method="column",
+                          cand_capacity=cand)
+            if bool(res.ok):
+                return res
+        return collide(coords, radii, capacity, method="bvh")

@@ -67,6 +67,7 @@ class ColumnPlan(NamedTuple):
     ok: jax.Array          # bool: capacities held (result exact iff True)
     max_col: jax.Array     # int32 stats for host retry
     max_slab_rows: jax.Array
+    rows_needed: jax.Array  # int32: max stream rows any window spans
     n: int
     gxy: int
     mc: int
@@ -113,6 +114,59 @@ def plan_columns(coords, radii, gxy, col_capacity, slab_rows):
                       slab_rows=slab_rows)
 
 
+class ColumnSort(NamedTuple):
+    """Spheres sorted by the composite (column, quantized-z) key, plus the
+    quantization parameters needed to key further window queries."""
+
+    key_s: jax.Array   # uint32[n] sorted composite keys
+    ids_s: jax.Array   # uint32[n] original sphere ids in sorted order
+    x_s: jax.Array     # [n] sorted centers / radii
+    y_s: jax.Array
+    z_s: jax.Array
+    r_s: jax.Array
+    lo_s: jax.Array    # [3] scene AABB lower corner (of centers)
+    zscale: jax.Array  # scalar: quantized units per z length
+    r_max: jax.Array   # scalar
+
+
+def _column_sort(coords, radii, gxy):
+    """Sort spheres by ``column_id << zbits | quantize(z)``.
+
+    Dtype-preserving: float64 coords keep float64 geometry (the fill
+    engine tests AABBs at input precision); the quantized keys are always
+    uint32.
+    """
+    n = coords.shape[0]
+    zbits = _zbits(gxy)
+    zmax = (1 << zbits) - 1
+
+    lo_s = jnp.min(coords, axis=0)
+    hi_s = jnp.max(coords, axis=0)
+    r_max = jnp.max(radii)
+    ext = hi_s - lo_s
+    one = jnp.asarray(1.0, coords.dtype)
+    # Column size >= 2*r_max per axis: colliding pairs always land in the
+    # same or an adjacent column (grid.py invariant, restricted to x/y).
+    sxy = jnp.maximum(2 * r_max, ext[:2] / gxy)
+    sxy = jnp.where(sxy > 0, sxy, one)
+    cxy = jnp.clip(
+        ((coords[:, :2] - lo_s[:2]) / sxy).astype(jnp.int32), 0, gxy - 1
+    )
+    col = (cxy[:, 0] * gxy + cxy[:, 1]).astype(jnp.uint32)
+
+    zext = jnp.where(ext[2] > 0, ext[2], one)
+    zscale = zmax / zext
+    zq = _quantize(coords[:, 2], lo_s[2], zscale, zmax)
+    key = (col << zbits) | zq
+
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    key_s, ids_s, x_s, y_s, z_s, r_s = jax.lax.sort(
+        (key, ids, coords[:, 0], coords[:, 1], coords[:, 2], radii),
+        num_keys=1, is_stable=True,
+    )
+    return ColumnSort(key_s, ids_s, x_s, y_s, z_s, r_s, lo_s, zscale, r_max)
+
+
 @partial(jax.jit, static_argnames=("gxy", "col_capacity", "slab_rows"))
 def _plan_columns(coords, radii, gxy, col_capacity, slab_rows):
     coords = jnp.asarray(coords, jnp.float32)
@@ -124,29 +178,11 @@ def _plan_columns(coords, radii, gxy, col_capacity, slab_rows):
     ncols = gxy * gxy
     ncols_ext = (gxy + 1) * gxy
 
-    lo_s = jnp.min(coords, axis=0)
-    hi_s = jnp.max(coords, axis=0)
-    r_max = jnp.max(radii)
-    ext = hi_s - lo_s
-    # Column size >= 2*r_max per axis: colliding pairs always land in the
-    # same or an adjacent column (grid.py invariant, restricted to x/y).
-    sxy = jnp.maximum(2 * r_max, ext[:2] / gxy)
-    sxy = jnp.where(sxy > 0, sxy, 1.0)
-    cxy = jnp.clip(
-        ((coords[:, :2] - lo_s[:2]) / sxy).astype(jnp.int32), 0, gxy - 1
-    )
-    col = (cxy[:, 0] * gxy + cxy[:, 1]).astype(jnp.uint32)
-
-    zext = jnp.where(ext[2] > 0, ext[2], 1.0)
-    zscale = zmax / zext
-    zq = _quantize(coords[:, 2], lo_s[2], zscale, zmax)
-    key = (col << zbits) | zq
-
-    ids = jnp.arange(n, dtype=jnp.uint32)
-    key_s, ids_s, x_s, y_s, z_s, r_s = jax.lax.sort(
-        (key, ids, coords[:, 0], coords[:, 1], coords[:, 2], radii),
-        num_keys=1, is_stable=True,
-    )
+    cs = _column_sort(coords, radii, gxy)
+    key_s, ids_s = cs.key_s, cs.ids_s
+    x_s, y_s, z_s, r_s = cs.x_s, cs.y_s, cs.z_s, cs.r_s
+    lo_s, zscale, r_max = cs.lo_s, cs.zscale, cs.r_max
+    zext = zmax / zscale
     col_s = (key_s >> zbits).astype(jnp.uint32)
 
     # Column starts over the extended id range (the pad x-row gxy stays
@@ -174,63 +210,84 @@ def _plan_columns(coords, radii, gxy, col_capacity, slab_rows):
     ])  # [8, npad]
     stream = jnp.transpose(comps.reshape(8, Rp, LANE), (1, 0, 2))
 
-    # --- per-chunk z ranges (conservative, via 64-aligned segment mins) ---
+    # --- exact per-chunk z ranges (two-row strip gather + masked reduce) ---
     nseg = npad // CHUNK
     zlo_pad = jnp.full((nseg * CHUNK,), jnp.inf,
                        jnp.float32).at[:n].set(z_s - r_s)
     zhi_pad = jnp.full((nseg * CHUNK,), -jnp.inf,
                        jnp.float32).at[:n].set(z_s + r_s)
-    seg_min = jnp.min(zlo_pad.reshape(nseg, CHUNK), axis=1)
-    seg_max = jnp.max(zhi_pad.reshape(nseg, CHUNK), axis=1)
-    seg_min = jnp.concatenate(
-        [seg_min, jnp.full((1,), jnp.inf, jnp.float32)])
-    seg_max = jnp.concatenate(
-        [seg_max, jnp.full((1,), -jnp.inf, jnp.float32)])
+    zlo_rows = zlo_pad.reshape(nseg, CHUNK)
+    zhi_rows = zhi_pad.reshape(nseg, CHUNK)
 
     c_idx = jnp.arange(ncols, dtype=jnp.int32)
     k_idx = jnp.arange(mc, dtype=jnp.int32)
     g0 = starts[c_idx][:, None] + k_idx[None, :] * CHUNK      # [ncols, mc]
     ends = starts[c_idx + 1][:, None]
     valid = g0 < ends
-    seg = jnp.minimum(g0 // CHUNK, nseg - 1)
-    lo_chunk = jnp.minimum(jnp.take(seg_min, seg),
-                           jnp.take(seg_min, seg + 1))
-    hi_chunk = jnp.maximum(jnp.take(seg_max, seg),
-                           jnp.take(seg_max, seg + 1))
+    alen = jnp.clip(ends - g0, 0, CHUNK)
+    seg = jnp.minimum(g0 // CHUNK, nseg - 2)
+    strip_lo = jnp.concatenate(
+        [jnp.take(zlo_rows, seg, axis=0),
+         jnp.take(zlo_rows, seg + 1, axis=0)], axis=-1)  # [ncols, mc, 128]
+    strip_hi = jnp.concatenate(
+        [jnp.take(zhi_rows, seg, axis=0),
+         jnp.take(zhi_rows, seg + 1, axis=0)], axis=-1)
+    local = (g0 - seg * CHUNK)[..., None]
+    lane = jnp.arange(2 * CHUNK, dtype=jnp.int32)
+    inwin = (lane >= local) & (lane < local + alen[..., None])
+    lo_chunk = jnp.min(jnp.where(inwin, strip_lo, jnp.inf), axis=-1)
+    hi_chunk = jnp.max(jnp.where(inwin, strip_hi, -jnp.inf), axis=-1)
 
     # Window thresholds in quantized-z space. quantize is monotone, so
     # every sphere with center z >= lo_chunk - r_max has zq >= qlo (and
-    # symmetrically for qhi) — windows are exact supersets.
-    qlo = _quantize(lo_chunk - r_max, lo_s[2], zscale, zmax)
-    qhi = _quantize(hi_chunk + r_max, lo_s[2], zscale, zmax)
+    # symmetrically for qhi) — windows are exact supersets. Clamp to the
+    # finite scene range first: empty chunks carry +/-inf, whose uint32
+    # conversion is implementation-defined.
+    zhi_scene = lo_s[2] + zext
+    qlo = _quantize(jnp.clip(lo_chunk - r_max, lo_s[2], zhi_scene),
+                    lo_s[2], zscale, zmax)
+    qhi = _quantize(jnp.clip(hi_chunk + r_max, lo_s[2], zhi_scene),
+                    lo_s[2], zscale, zmax)
 
     col_x = c_idx // gxy
     col_y = c_idx % gxy
-    w0_list, wcap_list = [], []
+    # One batched composite-key searchsorted for all (offset, lo/hi)
+    # thresholds: 10 separate calls measured ~18 ms at 1M on v5e; one
+    # batched call amortizes the coarse-search gather rounds.
+    key_q, valid_q = [], []
     for (dx, dy) in COLUMN_OFFSETS:
         yb = col_y + dy
         cb = ((col_x + dx) * gxy + jnp.clip(yb, 0, gxy - 1)).astype(
             jnp.uint32)
         off_valid = ((yb >= 0) & (yb < gxy))[:, None] & valid
-        key_lo = (cb[:, None] << zbits) + qlo
-        key_hi = (cb[:, None] << zbits) + qhi + 1
-        w0 = sorted_bucket_starts(
-            key_s, key_lo.reshape(-1)).reshape(ncols, mc).astype(jnp.int32)
-        wend = sorted_bucket_starts(
-            key_s, key_hi.reshape(-1)).reshape(ncols, mc).astype(jnp.int32)
+        key_q.append((cb[:, None] << zbits) + qlo)
+        key_q.append((cb[:, None] << zbits) + qhi + 1)
+        valid_q.append(off_valid)
+    all_pos = sorted_bucket_starts(
+        key_s, jnp.stack(key_q).reshape(-1)
+    ).reshape(10, ncols, mc).astype(jnp.int32)
+
+    w0_list, wcap_list, rows_list = [], [], []
+    for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
+        w0 = all_pos[2 * off]
+        wend = all_pos[2 * off + 1]
         if (dx, dy) == (0, 0):
             # Self column: the j > i dedup mask kills everything below the
             # chunk start, so clip the window there.
             w0 = jnp.maximum(w0, g0)
-        w0 = jnp.where(off_valid, w0, 0)
-        wcap = jnp.where(off_valid, jnp.maximum(wend - w0, 0), 0)
+        w0 = jnp.where(valid_q[off], w0, 0)
+        wcap = jnp.where(valid_q[off], jnp.maximum(wend - w0, 0), 0)
         w0_list.append(w0)
         wcap_list.append(wcap)
+        rows_list.append((w0 % LANE + wcap + LANE - 1) // LANE)
 
     w0_tab = jnp.stack(w0_list, axis=-1)      # [ncols, mc, 5]
     wcap_tab = jnp.stack(wcap_list, axis=-1)
     w0_tab = w0_tab.reshape(gxy, gxy * mc * 5)
     wcap_tab = wcap_tab.reshape(gxy, gxy * mc * 5)
+    # Stream rows the kernel must visit per window: the static rows-per-
+    # window knob must cover this or pairs would be dropped (host retry).
+    win_rows_needed = jnp.max(jnp.stack(rows_list))
 
     # --- capacity checks (host retry stats; never silently wrong) ---
     col_lens = starts[1:ncols + 1] - starts[:ncols]
@@ -244,4 +301,5 @@ def _plan_columns(coords, radii, gxy, col_capacity, slab_rows):
     ok = (max_col <= col_capacity) & (max_slab + 2 <= slab_rows)
 
     return (stream, starts, slab_r0.astype(jnp.int32), w0_tab, wcap_tab,
-            ok, max_col.astype(jnp.int32), max_slab.astype(jnp.int32))
+            ok, max_col.astype(jnp.int32), max_slab.astype(jnp.int32),
+            win_rows_needed.astype(jnp.int32))

@@ -7,22 +7,24 @@ replacement for the dense z-cell halo sweep (kernels/halo.py): work is
 proportional to the number of z-plausible candidate pairs instead of
 ``cell_capacity**2`` per cell pair, and the binning gather disappears —
 the kernel reads the sorted stream directly via a 3-slot ring of x-slab
-DMAs (each slab is DMAed exactly once per sweep; the per-step DMA-issue
-cost that killed per-column DMAs — measured ~6 us each on v5e — is paid
-``gxy + 1`` times total).
+DMAs (each slab is DMAed exactly once per sweep; per-DMA issue cost
+measured ~6 us on v5e, paid gxy+1 times total).
 
 Per grid step (one x-row of columns), for each column, for each 64-sphere
-chunk, for each of the 5 half-stencil column offsets, the kernel walks the
-chunk's precomputed z-window row by row (dynamic trip count — no static
-window width): a window row is built with one dynamic lane roll from the
-two stream rows covering it, the chunk's transposed component tile
-broadcasts against it, and the 6-way strict-overlap compare
-(collision.cl:164-166 semantics) accumulates into a vector register.
+chunk, for each of the 5 half-stencil column offsets, the kernel tests the
+chunk's transposed component tile against the ``rows_per_window`` raw
+stream rows covering the chunk's precomputed z-window. The row count is a
+*static* knob: dynamic inner loops measured 4.5x slower than this unrolled
+form (per-iteration scalar/loop overhead dominates the ~50-cycle vector
+body), and windows wider than the knob are detected in the plan
+(``rows_needed``) so the host retries with a bigger one — pairs are never
+silently dropped.
 
 Contract parity (collider.py docstring): exact unordered unique pairs of
-original ids; in fill mode the true total keeps counting past capacity
-while only ``capacity`` pairs are materialized (collision.cl:203-215),
-written in deterministic ascending sweep order.
+original ids, strict-overlap semantics (collision.cl:164-166); in fill
+mode the true total keeps counting past capacity while only ``capacity``
+pairs are materialized (collision.cl:203-215), in deterministic ascending
+sweep order.
 """
 
 from functools import partial
@@ -37,10 +39,13 @@ from ..columns import CHUNK, COLUMN_OFFSETS, LANE, ColumnPlan
 
 NO_PAIR = np.uint32(0xFFFFFFFF)
 
+#: Default static rows-per-window; the host escalates through this ladder
+#: when plan.rows_needed exceeds it (one recompile per rung, like the
+#: reference's reallocate-and-retry resize, collision.py:84-119).
+RPW_LADDER = (2, 4, 8, 16, 32, 64, 128)
 
-def _make_count_kernel(gxy, mc, slab_rows, direct_stream):
-    K = gxy * mc * 5
 
+def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
     def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
                total_ref, *scratch):
         if direct_stream:
@@ -65,7 +70,7 @@ def _make_count_kernel(gxy, mc, slab_rows, direct_stream):
                     bufs.at[0], sems.at[0]).wait()
 
             # Slab x+1 first becomes visible here; slab x was already
-            # waited on at step x-1 (or in the init block).
+            # waited on at step x-1 (or in the init block above).
             pltpu.make_async_copy(
                 stream_ref.at[pl.ds(r0_ref[x + 1], slab_rows)],
                 bufs.at[(x + 1) % 3], sems.at[(x + 1) % 3]).wait()
@@ -82,37 +87,44 @@ def _make_count_kernel(gxy, mc, slab_rows, direct_stream):
         sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
         sub_full = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
 
-        def read_rows2(dx, g):
-            """[2, 8, 128]: the two stream rows covering sphere g, then
-            one dynamic lane roll aligns sphere g to lane 0."""
+        def read_aligned(dx, g):
+            """[6, 128]: test components of spheres g..g+127, sphere g
+            rolled to lane 0 (used once per chunk for the a side)."""
             lrow = g // LANE
             lane0 = g % LANE
             if direct_stream:
-                two = stream_ref[pl.ds(lrow, 2), :, :]
+                two = stream_ref[pl.ds(lrow, 2), pl.ds(0, 6), :]
             else:
-                slot = jax.lax.rem(x + dx, 3)
-                two = bufs[slot, pl.ds(lrow - r0_ref[x + dx], 2), :, :]
+                slot = jax.lax.rem(x, 3)
+                two = bufs[slot, pl.ds(lrow - r0_ref[x], 2), pl.ds(0, 6), :]
             rolled = pltpu.roll(two, -lane0, 2)
             merged = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+                jax.lax.broadcasted_iota(jnp.int32, (6, LANE), 1)
                 < LANE - lane0,
-                rolled[0], rolled[1],
-            )
-            return merged  # [8, 128]
+                rolled[0], rolled[1])
+            return merged
+
+        def read_raw(dx, lrow):
+            """[6, 128]: raw stream row lrow's test components."""
+            if direct_stream:
+                l = jnp.clip(lrow, 0, stream_ref.shape[0] - 1)
+                return stream_ref[l, pl.ds(0, 6), :]
+            slot = jax.lax.rem(x + dx, 3)
+            l = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 1)
+            return bufs[slot, l, pl.ds(0, 6), :]
 
         def y_body(y, acc):
             col = x * gxy + y
             a0 = starts_ref[col]
             a1 = starts_ref[col + 1]
-            nchunks = jnp.minimum(
-                (a1 - a0 + CHUNK - 1) // CHUNK, mc)
+            nchunks = jnp.minimum((a1 - a0 + CHUNK - 1) // CHUNK, mc)
 
             def k_body(k, acc):
                 g0 = a0 + k * CHUNK
                 alen = jnp.minimum(a1 - g0, CHUNK)
-                a8 = read_rows2(0, g0)              # [8, 128]
-                aT = jnp.swapaxes(a8, 0, 1)         # [128, 8]
-                # Invalid chunk rows -> +inf lows: the strict test can
+                a6 = read_aligned(0, g0)
+                aT = jnp.swapaxes(a6, 0, 1)          # [128, 6]
+                # Rows past the chunk -> +inf lows: the strict test can
                 # never pass (subsumes an explicit a-validity mask).
                 aT = jnp.where(sub_full < alen, aT, jnp.inf)
                 axlo = aT[:CHUNK, 0:1]
@@ -123,33 +135,30 @@ def _make_count_kernel(gxy, mc, slab_rows, direct_stream):
                 azhi = aT[:CHUNK, 5:6]
                 tbase = (y * mc + k) * 5
 
-                def make_row_body(off, dx):
+                for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
                     w0 = w0_ref[0, 0, tbase + off]
                     wcap = wcap_ref[0, 0, tbase + off]
-
-                    def r_body(i, acc):
-                        b8 = read_rows2(dx, w0 + i * LANE)
-                        m = (axhi > b8[0:1, :]) & (axlo < b8[3:4, :])
-                        m &= (ayhi > b8[1:2, :]) & (aylo < b8[4:5, :])
-                        m &= (azhi > b8[2:3, :]) & (azlo < b8[5:6, :])
-                        m &= lane_i < wcap - i * LANE
+                    row_lo = w0 // LANE
+                    for r in range(rpw):
+                        b6 = read_raw(dx, row_lo + r)
+                        jglob = (row_lo + r) * LANE + lane_i
+                        m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
+                        m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
+                        m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
+                        m &= (jglob >= w0) & (jglob < w0 + wcap)
                         if off == 0:
-                            jglob = w0 + i * LANE + lane_i
                             m &= jglob > g0 + sub_c
-                        return acc + jnp.where(m, 1, 0)
-
-                    return w0, wcap, r_body
-
-                for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
-                    w0, wcap, r_body = make_row_body(off, dx)
-                    nrows = (wcap + LANE - 1) // LANE
-                    acc = jax.lax.fori_loop(0, nrows, r_body, acc)
+                        c = jnp.where(m, 1, 0)
+                        fold = c[0:8]
+                        for f in range(8, CHUNK, 8):
+                            fold = fold + c[f:f + 8]
+                        acc = acc + fold
                 return acc
 
             return jax.lax.fori_loop(0, nchunks, k_body, acc)
 
         acc = jax.lax.fori_loop(
-            0, gxy, y_body, jnp.zeros((CHUNK, LANE), jnp.int32))
+            0, gxy, y_body, jnp.zeros((8, LANE), jnp.int32))
         cursor[0] = cursor[0] + jnp.sum(acc)
 
         @pl.when(x == pl.num_programs(0) - 1)
@@ -159,21 +168,25 @@ def _make_count_kernel(gxy, mc, slab_rows, direct_stream):
     return kernel
 
 
-def sweep_count(plan: ColumnPlan, interpret=False):
-    """Exact pair count from a column plan. Returns int32 scalar."""
+def sweep_count(plan: ColumnPlan, rpw=2, interpret=False):
+    """Exact pair count from a column plan.
+
+    Exact iff ``plan.ok`` and ``plan.rows_needed <= rpw`` (the caller
+    retries with escalated knobs otherwise). Returns int32 scalar.
+    """
     return _sweep_count(
         plan.stream, plan.starts, plan.slab_r0, plan.w0, plan.wcap,
-        plan.gxy, plan.mc, plan.slab_rows, interpret,
+        plan.gxy, plan.mc, plan.slab_rows, rpw, interpret,
     )
 
 
 @partial(jax.jit, static_argnames=(
-    "gxy", "mc", "slab_rows", "interpret"))
+    "gxy", "mc", "slab_rows", "rpw", "interpret"))
 def _sweep_count(stream, starts, slab_r0, w0_tab, wcap_tab,
-                 gxy, mc, slab_rows, interpret=False):
+                 gxy, mc, slab_rows, rpw=2, interpret=False):
     K = gxy * mc * 5
     direct = bool(interpret)
-    kernel = _make_count_kernel(gxy, mc, slab_rows, direct)
+    kernel = _make_kernel(gxy, mc, slab_rows, rpw, direct)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts

@@ -17,30 +17,44 @@ import numpy as np
 _UNSIGNED = {np.dtype(d) for d in ("uint8", "uint16", "uint32", "uint64")}
 
 
-def sorted_bucket_starts(values, buckets, stride=64):
+def _count_less(table, buckets, strides):
+    """searchsorted-left of ``buckets`` into sorted ``table`` = the count of
+    table entries < bucket, via an n-level subsample pyramid.
+
+    Each level subsamples every ``strides[0]``-th entry, recurses to locate
+    the covering window, then resolves with a wide row-gather and a dense
+    compare-count — all full-bandwidth ops on TPU.
+    """
+    C = table.shape[0]
+    if not strides or C <= 2 * strides[0]:
+        # Small table: one dense compare-count is exact.
+        return jnp.sum(
+            table[None, :] < buckets[:, None], axis=1, dtype=jnp.int32)
+    s = strides[0]
+    pad = -(-C // s) * s
+    big = jnp.asarray(np.iinfo(table.dtype).max, table.dtype)
+    rows2d = jnp.full((pad,), big).at[:C].set(table).reshape(pad // s, s)
+    b = _count_less(rows2d[:, 0], buckets, strides[1:])
+    br = jnp.maximum(b - 1, 0)
+    window = jnp.take(rows2d, br, axis=0)
+    cnt = jnp.sum(window < buckets[:, None], axis=1, dtype=jnp.int32)
+    return jnp.minimum(br * s + cnt, C)
+
+
+def sorted_bucket_starts(values, buckets, strides=(64, 128)):
     """searchsorted(values, buckets, side='left') built from TPU-fast ops.
 
-    XLA's searchsorted is a binary search whose every round is a big-table
-    gather (~16 ms per million lookups on v5e). This version searches a
-    VMEM-sized coarse subsample (every ``stride``-th key — small-table
-    gathers are ~35× faster), then resolves exactly inside one
-    ``stride``-wide window per bucket with a wide row-gather and a dense
-    compare-count.
+    XLA's searchsorted lowers to a binary search whose rounds serialize
+    scalar gathers — measured 18 ms for 179k queries into a 15.6k table
+    on v5e. This version never binary-searches: an n-level subsample
+    pyramid (every ``strides[k]``-th key at level k) is resolved with
+    dense compare-counts and wide row-gathers only. Pick more/smaller
+    strides for very large tables so the top level stays dense-friendly.
     """
     values = jnp.asarray(values)
     buckets = jnp.asarray(buckets)
-    n = values.shape[0]
-    pad = max(-(-n // stride) * stride, stride)
-    big = jnp.asarray(np.iinfo(values.dtype).max, values.dtype)
-    padded = jnp.full((pad,), big).at[:n].set(values)
-    rows2d = padded.reshape(pad // stride, stride)
-    coarse = rows2d[:, 0]
-
-    b = jnp.searchsorted(coarse, buckets, side="left")
-    br = jnp.maximum(b.astype(jnp.int32) - 1, 0)
-    window = jnp.take(rows2d, br, axis=0)
-    cnt = jnp.sum(window < buckets[:, None], axis=1, dtype=jnp.int32)
-    return jnp.minimum(br * stride + cnt, n)
+    return jnp.minimum(
+        _count_less(values, buckets, tuple(strides)), values.shape[0])
 
 
 def find_offsets(values, n_offsets, size=None, offset_dtype=jnp.uint32):

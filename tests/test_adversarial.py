@@ -16,6 +16,8 @@ from collision_tpu.testing import brute_force_collisions, pair_array_to_set
 
 
 def _check_both_engines(coords, radii, grid_dim=8, cell_capacity=None):
+    from collision_tpu import candidate_count
+
     n = len(coords)
     expected = brute_force_collisions(coords, radii)
     cap = len(expected) + 8
@@ -25,10 +27,17 @@ def _check_both_engines(coords, radii, grid_dim=8, cell_capacity=None):
                  method="grid", grid_dim=grid_dim,
                  cell_capacity=cell_capacity)
     rb = collide(jnp.asarray(coords), jnp.asarray(radii), cap, method="bvh")
+    gxy = max(grid_dim // 2, 1)
+    cand = int(candidate_count(
+        jnp.asarray(coords), jnp.asarray(radii), gxy)) + 64
+    rc = collide(jnp.asarray(coords), jnp.asarray(radii), cap,
+                 method="column", gxy=gxy, cand_capacity=cand)
     assert bool(rg.ok)
-    assert int(rg.count) == len(expected) == int(rb.count)
+    assert bool(rc.ok)
+    assert int(rg.count) == len(expected) == int(rb.count) == int(rc.count)
     assert pair_array_to_set(rg.pairs, rg.count) == expected
     assert pair_array_to_set(rb.pairs, rb.count) == expected
+    assert pair_array_to_set(rc.pairs, rc.count) == expected
 
 
 def test_clustered_blobs():

@@ -13,9 +13,13 @@ def test_entry_compiles_and_runs():
     import __graft_entry__ as g
 
     fn, args = g.entry()
-    res = jax.jit(fn)(*args)
-    assert int(res.count) >= 0
-    assert res.pairs.shape[1] == 2
+    count_res, fill_res, bvh_res = jax.jit(fn)(*args)
+    assert int(count_res.count) >= 0
+    assert count_res.pairs is None
+    assert int(fill_res.count) == int(count_res.count)
+    for res in (fill_res, bvh_res):
+        assert int(res.count) >= 0
+        assert res.pairs.shape[1] == 2
 
 
 def test_dryrun_multichip():

@@ -70,3 +70,52 @@ def test_sharded_jitted_step():
     expected = brute_force_collisions(np.asarray(coords), np.asarray(radii))
     assert int(res.count) == len(expected)
     assert pair_array_to_set(res.pairs, res.count) == expected
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_fill_bit_parity(n_dev):
+    # Candidate-sharded run-expansion fill must be bit-identical to the
+    # single-device fill (same deterministic slot order) on any mesh.
+    from collision_tpu.fill import run_fill
+    from collision_tpu.parallel import make_sharded_fill
+
+    mesh = _mesh(n_dev)
+    rng = np.random.RandomState(11)
+    n = 1000
+    coords = jnp.asarray(rng.random((n, 3)).astype("float32"))
+    radii = jnp.asarray(rng.uniform(0, 1.2 / np.sqrt(n), n).astype("float32"))
+    expected = brute_force_collisions(np.asarray(coords), np.asarray(radii))
+    cap = len(expected) + 8
+    gxy, cand = 3, 1 << 17
+
+    step = make_sharded_fill(mesh, cap, gxy, cand)
+    res = jax.block_until_ready(step(coords, radii))
+    assert bool(res.ok)
+    assert int(res.count) == len(expected)
+    assert pair_array_to_set(res.pairs, res.count) == expected
+
+    ref_pairs, ref_total, ref_ok = run_fill(coords, radii, cap, gxy, cand)
+    assert bool(ref_ok) and int(ref_total) == len(expected)
+    assert np.array_equal(np.asarray(res.pairs), np.asarray(ref_pairs))
+
+
+def test_sharded_fill_count_only_and_overflow():
+    from collision_tpu.parallel import make_sharded_fill
+
+    mesh = _mesh(8)
+    rng = np.random.RandomState(12)
+    n = 600
+    coords = jnp.asarray(rng.random((n, 3)).astype("float32"))
+    radii = jnp.asarray(rng.uniform(0, 0.1, n).astype("float32"))
+    expected = brute_force_collisions(np.asarray(coords), np.asarray(radii))
+
+    res0 = make_sharded_fill(mesh, 0, 3, 1 << 17)(coords, radii)
+    assert res0.pairs is None
+    assert int(res0.count) == len(expected)
+
+    # Overflow contract: true total past a small capacity; the 3
+    # materialized pairs are real.
+    res3 = make_sharded_fill(mesh, 3, 3, 1 << 17)(coords, radii)
+    assert int(res3.count) == len(expected)
+    got = set(map(tuple, np.sort(np.asarray(res3.pairs), axis=1)))
+    assert got <= expected and len(got) == 3
