@@ -193,7 +193,7 @@ def _column_collide(coords, radii, capacity, gxy, col_capacity, slab_rows,
     stats let the host retry once with exact knobs (Collider does this).
     """
     from .columns import plan_columns
-    from .fill import run_fill
+    from .fill import mask_fill, run_fill
     from .kernels.sweep import sweep_count
 
     on_tpu = jax.default_backend() == "tpu" and coords.dtype == jnp.float32
@@ -206,6 +206,15 @@ def _column_collide(coords, radii, capacity, gxy, col_capacity, slab_rows,
         ok = plan.ok & (plan.rows_needed <= rpw)
         return CollisionResult(
             count.astype(jnp.uint32), None, lo_scene, hi_scene, ok=ok)
+    if on_tpu:
+        # Gather-free mask fill (fill.py): SoA internally — a [cap, 2]
+        # AoS u32 array tiles to 64x its logical size on TPU, so the
+        # stack is deferred to this API boundary (fine at API-scale
+        # capacities; huge enumerations should call mask_fill directly).
+        ida, idb, total, ok = mask_fill(
+            coords, radii, capacity, gxy, col_capacity, slab_rows, rpw=rpw)
+        pairs = jnp.stack([ida, idb], axis=1)
+        return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
     pairs, total, ok = run_fill(coords, radii, capacity, gxy, cand_capacity)
     return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
 
@@ -444,9 +453,9 @@ class Collider:
 
         on_tpu = jax.default_backend() == "tpu"
         f32 = self.coord_dtype == np.float32
-        if capacity == 0 and on_tpu and f32:
-            # Count sweep: the column plan reports the exact column
-            # occupancy / slab height / window row span it needs.
+        if on_tpu and f32:
+            # Count sweep / mask fill: the column plan reports the exact
+            # column occupancy / slab height / window row span it needs.
             gxy, col_cap, slab_rows = default_column_config(self.size)
             c32 = jnp.asarray(coords, jnp.float32)
             r32 = jnp.asarray(radii, jnp.float32)
@@ -459,7 +468,7 @@ class Collider:
                         and need_rpw <= RPW_LADDER[-1]):
                     rpw = next(r for r in RPW_LADDER if r >= need_rpw)
                     res = collide(
-                        coords, radii, 0, method="column", gxy=gxy,
+                        coords, radii, capacity, method="column", gxy=gxy,
                         col_capacity=col_cap, slab_rows=slab_rows, rpw=rpw,
                     )
                     if bool(res.ok):
@@ -469,7 +478,7 @@ class Collider:
                 # the full window tables).
                 col_cap = max(col_cap, need_col)
                 slab_rows = max(slab_rows, need_slab)
-            return collide(coords, radii, 0, method="bvh")
+            return collide(coords, radii, capacity, method="bvh")
         # Fill (or CPU/f64 count): the run-expansion pipeline needs a
         # larger candidate bound; its exact requirement is one cheap
         # (expansion-free) evaluation away.

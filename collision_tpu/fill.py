@@ -256,6 +256,240 @@ def _run_fill(coords, radii, capacity, gxy, cand_capacity, chunk):
     return pairs, total.astype(jnp.uint32), ok
 
 
+#  ---------------------------------------------------------------------
+#  Mask fill: the TPU fast path.
+#
+#  run_fill above is pure XLA but *gather-bound* on TPU: its candidate
+#  pass does ~12 scalar gathers per candidate, and a v5e scalar gather
+#  costs ~9 ns/element regardless of table size or index order (measured,
+#  benchmarks/exp_gather.py) — 5.9 s/step at 1M spheres. The mask fill
+#  keeps the candidate testing inside the Pallas column sweep
+#  (kernels/sweep.py sweep_masks — no gathers at all) and reduces
+#  emission to popcount pyramids, cumulative sums, *contiguous-window*
+#  row gathers, and dense select-compares — every per-pair value is
+#  resolved against a 32-unit window fetched once per 32 output slots, so
+#  there are NO per-pair scalar gathers anywhere.
+#  ---------------------------------------------------------------------
+
+#: Words per emission unit (a unit = U consecutive lanes of one packed
+#: mask row; U divides 128 so a unit never straddles tiles or halves).
+_U = 8
+
+#: Output slots resolved per window fetch. Must not exceed the table row
+#: size _R: each kept unit covers >= 1 pair, so the first kept unit of a
+#: block lies at most _BS-1 units before the block's last — a 2-row
+#: (2*_R-unit) aligned window then covers every slot iff _BS <= _R.
+_BS = 16
+
+
+def _select_bit(word, rank):
+    """Index of the ``rank``-th set bit of ``word`` (binary partition by
+    popcount — 5 wide rounds, no per-element loops)."""
+    pos = jnp.zeros_like(word, dtype=jnp.int32)
+    rem = rank
+    for width in (16, 8, 4, 2, 1):
+        lowmask = ((jnp.uint32(1) << width) - 1) << pos.astype(jnp.uint32)
+        c = jax.lax.population_count(word & lowmask).astype(jnp.int32)
+        right = c <= rem
+        rem = jnp.where(right, rem - c, rem)
+        pos = jnp.where(right, pos + width, pos)
+    return pos
+
+
+#: Kept units packed per table row (so every big table has a 128-lane
+#: minor dimension — a [N, small] array tiles to T(8,128) and pads its
+#: minor dim to 128 on TPU, up to 64x the logical size).
+_R = 16
+
+
+def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, chunk_blocks,
+                    kcap=None):
+    """Emit (ida, idb) SoA pair buffers from packed sweep masks.
+
+    ``B``: uint32[ncols, T, 2, 128] from sweep_masks. Word flat index
+    ``w = ((c*T + s)*2 + h)*128 + lane``; bit b = chunk sublane h*32+b.
+
+    Emission is blocked: each group of 16 output slots resolves every
+    per-pair value (word, rank, j-id, i-base) against a 2-row window of
+    kept-unit tables fetched with contiguous row-gathers — the only
+    per-pair scalar gather in the whole pipeline is the final
+    ``ids_flat[i]`` lookup. Kept-unit tables are capped at ``capacity``
+    entries: a unit beyond the first ``capacity`` pairs can never be
+    selected.
+    """
+    gxy, mc = plan.gxy, plan.mc
+    T = mc * 5 * rpw
+
+    wflat = B.reshape(-1)
+    Nw = wflat.shape[0]
+    Nu = Nw // _U
+
+    wp = jax.lax.population_count(wflat).astype(jnp.int32)
+    up = jnp.sum(wp.reshape(Nu, _U), axis=1)
+
+    # --- kept-unit compaction, capped at capacity entries ---
+    # A smaller caller-supplied kcap trades table-build work for an ok
+    # retry: truncation is exact either when every kept unit fits, or
+    # when the cap covers capacity pairs (each kept unit holds >= 1).
+    Kcap = min(Nu, capacity + 2 * _BS if kcap is None else kcap)
+    Kcap = -(-Kcap // (_BS * _R)) * (_BS * _R)
+    kic = jnp.cumsum((up > 0).astype(jnp.int32))
+    trunc_safe = (kic[-1] <= Kcap) | (Kcap >= capacity + 2 * _BS)
+    nk = jnp.minimum(kic[-1], Kcap)
+    ordv = jnp.arange(Kcap, dtype=jnp.int32)
+    K = sorted_bucket_starts(
+        kic, ordv + 1, strides=_auto_strides(Nu))
+    K = jnp.minimum(K, Nu - 1)
+    live_k = ordv < nk
+    kcount = jnp.where(live_k, jnp.take(up, K), 0)
+    KCC = jnp.cumsum(kcount)                       # [Kcap] inclusive
+
+    # --- per-kept-unit geometry (pure arithmetic on K) ---
+    from .kernels.sweep import mask_groups
+
+    kg, ng = mask_groups(mc, rpw)
+    kgt = kg * 5 * rpw
+    per_col = ng * kgt * 256 // _U
+    c_u = K // per_col
+    rem = K % per_col
+    per_g = kgt * 256 // _U
+    g_u = rem // per_g
+    rem2 = rem % per_g
+    s_u = rem2 // (256 // _U)
+    rem3 = rem2 % (256 // _U)
+    h_u = rem3 // (128 // _U)
+    lane0 = (rem3 % (128 // _U)) * _U
+    k_u = jnp.minimum(g_u * kg + s_u // (5 * rpw), mc - 1)
+    off_u = (s_u // rpw) % 5
+    r_u = s_u % rpw
+    x_u = c_u // gxy
+    y_u = c_u % gxy
+
+    w0_tab = plan.w0.reshape(gxy, gxy * mc * 5)
+    w0_u = w0_tab[x_u, (y_u * mc + k_u) * 5 + off_u]
+    jrow = w0_u // 128 + r_u
+    jbase = jrow * 128 + lane0                     # 8-aligned
+    ibase = jnp.take(plan.starts, c_u) + k_u * 64 + h_u * 32
+
+    nid8 = ids_flat.shape[0] // _U
+
+    # Packed kept tables, _R units per 128-lane row.
+    contents_p = jnp.where(
+        live_k[:, None],
+        jnp.take(wflat.reshape(Nu, _U), K, axis=0), 0,
+    ).reshape(-1, _R * _U)                         # [Kcap/_R, 128]
+    jids_p = jnp.take(
+        ids_flat.reshape(nid8, _U),
+        jnp.clip(jbase // _U, 0, nid8 - 1), axis=0,
+    ).reshape(-1, _R * _U)                         # [Kcap/_R, 128]
+    ibase_p = ibase.reshape(-1, _R)                # [Kcap/_R, 16]
+    KCCp = jnp.concatenate([jnp.zeros((1,), jnp.int32), KCC])
+    nrows_k = contents_p.shape[0]
+
+    nb_total = -(-capacity // _BS)
+    nb_chunk = min(chunk_blocks, nb_total)
+    n_chunks = -(-nb_total // nb_chunk)
+
+    W = 2 * _R                                      # window units
+    iota_w = jnp.arange(W * _U, dtype=jnp.int32)
+    iota_u = jnp.arange(W, dtype=jnp.int32)
+
+    def emit_chunk(cidx, _):
+        b0 = cidx * nb_chunk
+        q0 = (b0 + jnp.arange(nb_chunk, dtype=jnp.int32)) * _BS
+        fo = sorted_bucket_starts(
+            KCC, q0 + 1, strides=_auto_strides(Kcap))
+        fa = jnp.clip(fo // _R, 0, nrows_k - 2)
+        base_cnt = jnp.take(KCCp, fa * _R)
+        two = fa[:, None] + jnp.arange(2)[None, :]
+
+        Wc = jnp.take(contents_p, two, axis=0).reshape(nb_chunk, W * _U)
+        Wj = jnp.take(jids_p, two, axis=0).reshape(nb_chunk, W * _U)
+        Wb = jnp.take(ibase_p, two, axis=0).reshape(nb_chunk, W)
+
+        wcum = base_cnt[:, None] + jnp.cumsum(
+            jax.lax.population_count(Wc).astype(jnp.int32), axis=1)
+
+        q = q0[:, None] + jnp.arange(_BS, dtype=jnp.int32)[None, :]
+        le = wcum[:, None, :] <= q[:, :, None]      # [nb, BS, 256]
+        wo = jnp.sum(le, axis=-1, dtype=jnp.int32)
+        wo = jnp.minimum(wo, W * _U - 1)
+        prev = jnp.maximum(
+            jnp.max(jnp.where(le, wcum[:, None, :], 0), axis=-1),
+            base_cnt[:, None])
+        rank = q - prev
+
+        onehot_w = iota_w[None, None, :] == wo[:, :, None]
+        content = jnp.sum(
+            jnp.where(onehot_w, Wc[:, None, :], 0),
+            axis=-1, dtype=jnp.uint32)
+        jid = jnp.sum(
+            jnp.where(onehot_w, Wj[:, None, :], 0),
+            axis=-1, dtype=jnp.uint32)
+        uo = wo // _U
+        onehot_u = iota_u[None, None, :] == uo[:, :, None]
+        ib = jnp.sum(
+            jnp.where(onehot_u, Wb[:, None, :], 0),
+            axis=-1, dtype=jnp.int32)
+
+        bit = _select_bit(content, rank)
+        # The one per-pair scalar gather in the pipeline (~9 ns/elem on
+        # v5e): sorted-index -> original id for the chunk side.
+        iid = jnp.take(ids_flat, jnp.clip(ib + bit, 0, _U * nid8 - 1))
+
+        live = q < jnp.minimum(total, capacity)
+        ida = jnp.where(live, iid, jnp.uint32(NO_PAIR)).reshape(-1)
+        idb = jnp.where(live, jid, jnp.uint32(NO_PAIR)).reshape(-1)
+        return cidx + 1, (ida, idb)
+
+    _, (ida, idb) = jax.lax.scan(
+        emit_chunk, jnp.int32(0), None, length=n_chunks)
+    return (ida.reshape(-1)[:capacity], idb.reshape(-1)[:capacity],
+            trunc_safe)
+
+
+def mask_fill(coords, radii, capacity, gxy, col_capacity, slab_rows,
+              rpw=2, interpret=False, chunk_blocks=1 << 16, kcap=None):
+    """Gather-free TPU pair enumeration from packed sweep masks.
+
+    Returns (ida[capacity], idb[capacity], total, ok) — SoA uint32 pair
+    buffers (a [capacity, 2] AoS array tiles to 64x its size on TPU;
+    callers stack only when small). ``ok`` is False when the plan's
+    static knobs were insufficient (host retries with exact stats).
+    ``kcap`` optionally bounds the kept-unit tables below the always-safe
+    ``capacity`` default — a perf knob for huge fills, covered by ``ok``.
+    """
+    return _mask_fill_impl(
+        coords, radii, int(capacity), int(gxy), int(col_capacity),
+        int(slab_rows), int(rpw), bool(interpret), int(chunk_blocks),
+        None if kcap is None else int(kcap))
+
+
+@partial(jax.jit, static_argnames=(
+    "capacity", "gxy", "col_capacity", "slab_rows", "rpw", "interpret",
+    "chunk_blocks", "kcap"))
+def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
+                    rpw, interpret, chunk_blocks, kcap=None):
+    from .columns import plan_columns
+    from .kernels.sweep import sweep_masks
+
+    plan = plan_columns(
+        jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
+        gxy, col_capacity, slab_rows)
+    B = sweep_masks(plan, rpw=rpw, interpret=interpret)
+    pc = jax.lax.population_count(B.reshape(-1))
+    total = jnp.sum(pc, dtype=jnp.int32)
+    # int32 guard for pathological all-overlapping scenes (f32 tree sum
+    # is accurate to ~2^-20 relative — sound as a margined detector).
+    ok = plan.ok & (plan.rows_needed <= rpw) \
+        & (jnp.sum(pc.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
+    ids_flat = jax.lax.bitcast_convert_type(
+        plan.stream[:, 6, :], jnp.uint32).reshape(-1)
+    ida, idb, trunc_safe = _mask_fill_emit(
+        B, plan, ids_flat, capacity, rpw, total, chunk_blocks, kcap)
+    return ida, idb, total.astype(jnp.uint32), ok & trunc_safe
+
+
 def run_fill(coords, radii, capacity, gxy, cand_capacity, chunk=1 << 20):
     """Enumerate colliding pairs into a ``capacity``-slot buffer.
 

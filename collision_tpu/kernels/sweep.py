@@ -42,7 +42,19 @@ NO_PAIR = np.uint32(0xFFFFFFFF)
 #: Default static rows-per-window; the host escalates through this ladder
 #: when plan.rows_needed exceeds it (one recompile per rung, like the
 #: reference's reallocate-and-retry resize, collision.py:84-119).
-RPW_LADDER = (2, 4, 8, 16, 32, 64, 128)
+RPW_LADDER = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+
+def mask_groups(mc, rpw):
+    """(KG, NG): chunks per mask-kernel grid step and number of groups.
+
+    The mask kernel's output block is KG*5*rpw KiB of VMEM; grouping
+    chunks keeps it under ~2 MiB for any rpw so the kernel never blows
+    the scoped-VMEM budget (observed at rpw=16 with deep columns).
+    """
+    kg = max(1, (2 << 20) // (5 * rpw * 1024))
+    kg = min(kg, mc)
+    return kg, -(-mc // kg)
 
 
 def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
@@ -166,6 +178,198 @@ def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
             total_ref[0] = cursor[0]
 
     return kernel
+
+
+def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream):
+    """Mask-emitting sweep: same banded window walk as the count kernel,
+    but every row-tile's [CHUNK, 128] overlap mask is bit-packed into two
+    uint32 lane-words and written to a per-(x, y) HBM block — the input
+    to the gather-free fill pipeline (fill.py mask_fill). Skipped /
+    unvisited tile slots stay zero (the block is zeroed first), which is
+    exact: their windows have no in-window lanes."""
+    def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
+               out_ref, *scratch):
+        if direct_stream:
+            bufs = sems = None
+        else:
+            bufs, sems = scratch
+        x = pl.program_id(0)
+        y = pl.program_id(1)
+        g = pl.program_id(2)
+
+        if not direct_stream:
+            def start_slab(s, slot):
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[s], slab_rows)],
+                    bufs.at[slot], sems.at[slot]).start()
+
+            @pl.when((x == 0) & (y == 0) & (g == 0))
+            def _init_dma():
+                start_slab(0, 0)
+                start_slab(1, 1)
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[0], slab_rows)],
+                    bufs.at[0], sems.at[0]).wait()
+
+            @pl.when((y == 0) & (g == 0))
+            def _ring_step():
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[x + 1], slab_rows)],
+                    bufs.at[(x + 1) % 3], sems.at[(x + 1) % 3]).wait()
+
+                @pl.when(x + 2 <= gxy)
+                def _prefetch():
+                    start_slab(x + 2, (x + 2) % 3)
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        sub_full = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+        shift = jax.lax.broadcasted_iota(
+            jnp.uint32, (CHUNK, LANE), 0) % 32
+
+        def read_aligned(g):
+            lrow = g // LANE
+            lane0 = g % LANE
+            if direct_stream:
+                two = stream_ref[pl.ds(lrow, 2), pl.ds(0, 6), :]
+            else:
+                slot = jax.lax.rem(x, 3)
+                two = bufs[slot, pl.ds(lrow - r0_ref[x], 2), pl.ds(0, 6), :]
+            rolled = pltpu.roll(two, -lane0, 2)
+            return jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (6, LANE), 1)
+                < LANE - lane0,
+                rolled[0], rolled[1])
+
+        def read_raw(dx, lrow):
+            if direct_stream:
+                l = jnp.clip(lrow, 0, stream_ref.shape[0] - 1)
+                return stream_ref[l, pl.ds(0, 6), :]
+            slot = jax.lax.rem(x + dx, 3)
+            l = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 1)
+            return bufs[slot, l, pl.ds(0, 6), :]
+
+        col = x * gxy + y
+        a0 = starts_ref[col]
+        a1 = starts_ref[col + 1]
+        nchunks = jnp.minimum((a1 - a0 + CHUNK - 1) // CHUNK, mc)
+        k_lo = g * kg
+        k_hi = jnp.minimum(k_lo + kg, nchunks)
+
+        def k_body(k, _):
+            g0 = a0 + k * CHUNK
+            alen = jnp.minimum(a1 - g0, CHUNK)
+            a6 = read_aligned(g0)
+            aT = jnp.swapaxes(a6, 0, 1)
+            aT = jnp.where(sub_full < alen, aT, jnp.inf)
+            axlo = aT[:CHUNK, 0:1]
+            aylo = aT[:CHUNK, 1:2]
+            azlo = aT[:CHUNK, 2:3]
+            axhi = aT[:CHUNK, 3:4]
+            ayhi = aT[:CHUNK, 4:5]
+            azhi = aT[:CHUNK, 5:6]
+            tbase = (y * mc + k) * 5
+
+            for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
+                w0 = w0_ref[0, 0, tbase + off]
+                wcap = wcap_ref[0, 0, tbase + off]
+                row_lo = w0 // LANE
+                nr = (w0 % LANE + wcap + LANE - 1) // LANE
+
+                def row_tile(r, dx=dx, off=off, w0=w0, wcap=wcap,
+                             row_lo=row_lo, g0=g0, k=k, axlo=axlo,
+                             axhi=axhi, aylo=aylo, ayhi=ayhi, azlo=azlo,
+                             azhi=azhi):
+                    b6 = read_raw(dx, row_lo + r)
+                    jglob = (row_lo + r) * LANE + lane_i
+                    m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
+                    m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
+                    m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
+                    m &= (jglob >= w0) & (jglob < w0 + wcap)
+                    if off == 0:
+                        m &= jglob > g0 + sub_c
+                    bits = jnp.where(m, jnp.uint32(1) << shift,
+                                     jnp.uint32(0))
+                    half0 = bits[0:32]
+                    half1 = bits[32:64]
+                    for hw in (16, 8, 4, 2, 1):
+                        half0 = half0[:hw] + half0[hw:2 * hw]
+                        half1 = half1[:hw] + half1[hw:2 * hw]
+                    packed = jnp.concatenate([half0, half1], axis=0)
+                    slot = ((k - k_lo) * 5 + off) * rpw + r
+                    out_ref[0, slot] = packed
+
+                for r in range(rpw):
+                    pl.when(r < nr)(partial(row_tile, r))
+            return 0
+
+        jax.lax.fori_loop(k_lo, k_hi, k_body, 0)
+
+    return kernel
+
+
+def sweep_masks(plan: ColumnPlan, rpw=2, interpret=False):
+    """Packed per-tile overlap bitmasks for the whole scene.
+
+    Returns uint32[ncols*NG, KG*5*rpw, 2, 128] with (KG, NG) from
+    :func:`mask_groups`: for column ``c = x*gxy+y``, group ``gq``
+    (chunks ``gq*KG..``), tile slot ``(kk*5 + off)*rpw + r``, the two
+    words per lane hold the chunk-sublane mask of stream row
+    ``w0//128 + r`` vs chunk ``gq*KG + kk`` of the column under stencil
+    offset ``off`` (word ``h`` bit ``b`` = sublane ``h*32+b``). Exact
+    iff ``plan.ok`` and ``plan.rows_needed <= rpw``.
+    """
+    return _sweep_masks(
+        plan.stream, plan.starts, plan.slab_r0, plan.w0, plan.wcap,
+        plan.gxy, plan.mc, plan.slab_rows, rpw, interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "gxy", "mc", "slab_rows", "rpw", "interpret"))
+def _sweep_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
+                 gxy, mc, slab_rows, rpw=2, interpret=False):
+    K = gxy * mc * 5
+    kg, ng = mask_groups(mc, rpw)
+    kgt = kg * 5 * rpw
+    direct = bool(interpret)
+    kernel = _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # slab_r0
+        pl.BlockSpec((1, 1, K), lambda x, y, g: (x, 0, 0),
+                     memory_space=pltpu.SMEM),                 # w0
+        pl.BlockSpec((1, 1, K), lambda x, y, g: (x, 0, 0),
+                     memory_space=pltpu.SMEM),                 # wcap
+        pl.BlockSpec(memory_space=pltpu.VMEM if direct else pl.ANY),
+    ]
+    scratch = []
+    if not direct:
+        scratch = [
+            pltpu.VMEM((3, slab_rows, 8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(gxy, gxy, ng),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, kgt, 2, LANE),
+            lambda x, y, g: ((x * gxy + y) * ng + g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (gxy * gxy * ng, kgt, 2, LANE), jnp.uint32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(starts, slab_r0,
+      w0_tab.reshape(gxy, 1, K), wcap_tab.reshape(gxy, 1, K),
+      stream)
+    return out
 
 
 def sweep_count(plan: ColumnPlan, rpw=2, interpret=False):

@@ -7,6 +7,7 @@ true-total-past-capacity, deterministic order, float64 support.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -137,3 +138,117 @@ def test_sorted_bucket_starts_multilevel():
         got = np.asarray(sorted_bucket_starts(
             jnp.asarray(vals), jnp.asarray(bks), strides=strides))
         np.testing.assert_equal(got, np.searchsorted(vals, bks, "left"))
+
+
+# ---- mask fill (gather-free TPU emission; interpreter mode on CPU) ----
+
+from collision_tpu.columns import plan_columns  # noqa: E402
+from collision_tpu.fill import mask_fill  # noqa: E402
+from collision_tpu.kernels.sweep import RPW_LADDER, sweep_masks  # noqa: E402
+
+
+def _mask_check(n, seed, gxy, cc, sr, rscale=1.2, cap_extra=9):
+    rng = np.random.RandomState(seed)
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, rscale / np.sqrt(n), n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    cap = max(len(expected) + cap_extra, 16)
+    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii), gxy, cc, sr)
+    assert bool(plan.ok)
+    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_needed))
+    ida, idb, total, ok = mask_fill(
+        jnp.asarray(coords), jnp.asarray(radii), cap, gxy, cc, sr,
+        rpw=rpw, interpret=True)
+    assert bool(ok)
+    assert int(total) == len(expected)
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(ida)[:int(total)],
+                           np.asarray(idb)[:int(total)])}
+    assert got == expected
+    assert (np.asarray(ida)[int(total):] == 0xFFFFFFFF).all()
+    assert (np.asarray(idb)[int(total):] == 0xFFFFFFFF).all()
+
+
+@pytest.mark.parametrize("n,seed,gxy,cc,sr", [
+    (200, 0, 2, 192, 4),
+    (500, 1, 3, 192, 4),
+    (1000, 2, 4, 128, 6),
+    (600, 9, 2, 512, 8),
+    (2000, 3, 4, 640, 8),
+])
+def test_mask_fill_parity(n, seed, gxy, cc, sr):
+    _mask_check(n, seed, gxy, cc, sr)
+
+
+def test_mask_fill_single_column_dense():
+    # 22k pairs through one column: multi-row windows, rpw escalation,
+    # many emission blocks.
+    _mask_check(800, 5, 1, 832, 9, rscale=6)
+
+
+def test_mask_fill_overflow_contract():
+    rng = np.random.RandomState(3)
+    n = 300
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.15, n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    ida, idb, total, ok = mask_fill(
+        jnp.asarray(coords), jnp.asarray(radii), 7, 2, 320, 6,
+        rpw=8, interpret=True)
+    assert bool(ok)
+    assert int(total) == len(expected)
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(ida), np.asarray(idb))}
+    assert got <= expected and len(got) == 7
+
+
+def test_mask_fill_rpw_insufficient_flags_not_ok():
+    # rows_needed > rpw must surface ok=False, never a silent undercount
+    # being trusted.
+    rng = np.random.RandomState(5)
+    n = 400
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0.1, 0.3, n).astype("float32")
+    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii), 2, 448, 8)
+    assert bool(plan.ok) and int(plan.rows_needed) > 1
+    _, _, _, ok = mask_fill(
+        jnp.asarray(coords), jnp.asarray(radii), 16, 2, 448, 8,
+        rpw=1, interpret=True)
+    assert not bool(ok)
+
+
+def test_sweep_masks_popcount_equals_count():
+    rng = np.random.RandomState(12)
+    n = 700
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 1.5 / np.sqrt(n), n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii), 3, 320, 6)
+    assert bool(plan.ok)
+    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_needed))
+    B = sweep_masks(plan, rpw=rpw, interpret=True)
+    pop = int(np.asarray(jax.lax.population_count(B.reshape(-1))).sum())
+    assert pop == len(expected)
+
+
+def test_mask_fill_multi_group():
+    # mc=64 with rpw=8 splits the mask kernel's output into 2 chunk
+    # groups (mask_groups) — the grouped flat-word decode must stay
+    # bit-exact.
+    from collision_tpu.kernels.sweep import mask_groups
+
+    assert mask_groups(64, 8)[1] > 1
+    rng = np.random.RandomState(21)
+    n = 3500
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.02, n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    ida, idb, total, ok = mask_fill(
+        jnp.asarray(coords), jnp.asarray(radii), len(expected) + 9,
+        1, 4096, 32, rpw=8, interpret=True)
+    assert bool(ok)
+    assert int(total) == len(expected)
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(ida)[:int(total)],
+                           np.asarray(idb)[:int(total)])}
+    assert got == expected
