@@ -59,8 +59,10 @@ def main():
         print("{}: gxy={} col_cap={} slab_rows={} rpw={} cap={}".format(
             name, gxy, col_cap, slab_rows, rpw, capacity), flush=True)
 
+        kcap = int(os.environ.get("KCAP", 0)) or None
         ida, idb, total, ok = mask_fill(
-            coords, radii, capacity, gxy, col_cap, slab_rows, rpw=rpw)
+            coords, radii, capacity, gxy, col_cap, slab_rows, rpw=rpw,
+            kcap=kcap)
         total = int(total)
         print("  ok={} total={}".format(bool(ok), total), flush=True)
         assert bool(ok)
@@ -85,7 +87,7 @@ def main():
                 acc, cc = carry
                 ia, ib, tot, _ = _mask_fill_impl(
                     cc, radii, capacity, gxy, col_cap, slab_rows, rpw,
-                    False, 1 << 16)
+                    False, 1 << 16, kcap)
                 # Depend on the pair buffers themselves or XLA dead-code
                 # eliminates the whole emission phase.
                 probe = tot + ia[capacity - 1] + ib[capacity // 2]
