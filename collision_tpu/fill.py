@@ -53,6 +53,7 @@ import numpy as np
 
 from .columns import COLUMN_OFFSETS, _column_sort, _quantize, _zbits
 from .ops.offset import sorted_bucket_starts
+from .ops.scan import inclusive_scan
 
 NO_PAIR = np.uint32(0xFFFFFFFF)
 
@@ -185,7 +186,7 @@ def _run_fill(coords, radii, capacity, gxy, cand_capacity, chunk):
     # requires every kept run to cover >= 1 candidate) ---
     nruns = run_len.shape[0]
     keep = run_len > 0
-    keep_ic = jnp.cumsum(keep.astype(jnp.int32))
+    keep_ic = inclusive_scan(keep.astype(jnp.int32))
     n_kept = keep_ic[-1]
     total_cand = jnp.sum(run_len)
     # Guard the int32 candidate arithmetic itself: XLA's tree reduction
@@ -202,7 +203,7 @@ def _run_fill(coords, radii, capacity, gxy, cand_capacity, chunk):
     c_len = jnp.where(live_r, jnp.take(run_len, sel_r), 0)
     c_w0 = jnp.where(live_r, jnp.take(run_w0, sel_r), 0)
     c_i = jnp.where(live_r, jnp.take(run_i, sel_r), 0)
-    c_ic = jnp.cumsum(c_len)                    # pad tail == total_cand
+    c_ic = inclusive_scan(c_len)                    # pad tail == total_cand
     c_ex = c_ic - c_len
 
     # --- candidate pass: survivor bitmask, chunked ---
@@ -306,8 +307,10 @@ def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, chunk_blocks,
                     kcap=None):
     """Emit (ida, idb) SoA pair buffers from packed sweep masks.
 
-    ``B``: uint32[ncols, T, 2, 128] from sweep_masks. Word flat index
-    ``w = ((c*T + s)*2 + h)*128 + lane``; bit b = chunk sublane h*32+b.
+    ``B``: uint32[ncols*NG, KG*5*rpw, 2, 128] from sweep_masks (chunk
+    groups per kernels.sweep.mask_groups). Word flat index within a
+    column decodes to (group, slot, half, lane); bit b = chunk sublane
+    h*32+b.
 
     Emission is blocked: each group of 16 output slots resolves every
     per-pair value (word, rank, j-id, i-base) against a 2-row window of
@@ -318,7 +321,6 @@ def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, chunk_blocks,
     selected.
     """
     gxy, mc = plan.gxy, plan.mc
-    T = mc * 5 * rpw
 
     wflat = B.reshape(-1)
     Nw = wflat.shape[0]
@@ -333,7 +335,7 @@ def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, chunk_blocks,
     # when the cap covers capacity pairs (each kept unit holds >= 1).
     Kcap = min(Nu, capacity + 2 * _BS if kcap is None else kcap)
     Kcap = -(-Kcap // (_BS * _R)) * (_BS * _R)
-    kic = jnp.cumsum((up > 0).astype(jnp.int32))
+    kic = inclusive_scan((up > 0).astype(jnp.int32))
     trunc_safe = (kic[-1] <= Kcap) | (Kcap >= capacity + 2 * _BS)
     nk = jnp.minimum(kic[-1], Kcap)
     ordv = jnp.arange(Kcap, dtype=jnp.int32)
@@ -342,7 +344,7 @@ def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, chunk_blocks,
     K = jnp.minimum(K, Nu - 1)
     live_k = ordv < nk
     kcount = jnp.where(live_k, jnp.take(up, K), 0)
-    KCC = jnp.cumsum(kcount)                       # [Kcap] inclusive
+    KCC = inclusive_scan(kcount)                       # [Kcap] inclusive
 
     # --- per-kept-unit geometry (pure arithmetic on K) ---
     from .kernels.sweep import mask_groups

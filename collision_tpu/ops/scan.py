@@ -19,7 +19,7 @@ from ..utils import next_power_of_2, round_up
 _SCAN_BLOCK = 4096
 
 
-def _inclusive_1d(values):
+def inclusive_scan(values):
     """Inclusive prefix sum of a 1-D array via two blocked passes.
 
     XLA lowers a long ``cumsum`` to a log-depth reduce-window chain
@@ -50,7 +50,7 @@ def exclusive_scan(values, axis=0):
 
     values = jnp.asarray(values)
     if values.ndim == 1 and axis == 0:
-        inclusive = _inclusive_1d(values)
+        inclusive = inclusive_scan(values)
     else:
         inclusive = jnp.cumsum(values, axis=axis, dtype=values.dtype)
     zero = jnp.zeros_like(

@@ -29,6 +29,7 @@ from ..fill import (
     _two_level_cumsum,
 )
 from ..ops.offset import sorted_bucket_starts
+from ..ops.scan import inclusive_scan
 from ..ops.reduce import scene_bounds
 
 
@@ -50,7 +51,7 @@ def fill_sharded(coords, radii, capacity, gxy, cand_capacity, mesh,
         cs = _column_sort(coords, radii, gxy)
         run_w0, run_len, run_i = _candidate_runs(cs, gxy)
         nruns = run_len.shape[0]
-        keep_ic = jnp.cumsum((run_len > 0).astype(jnp.int32))
+        keep_ic = inclusive_scan((run_len > 0).astype(jnp.int32))
         n_kept = keep_ic[-1]
         total_cand = jnp.sum(run_len)
         fsum = jnp.sum(run_len.astype(jnp.float32))
@@ -64,7 +65,7 @@ def fill_sharded(coords, radii, capacity, gxy, cand_capacity, mesh,
         c_len = jnp.where(live_r, jnp.take(run_len, sel_r), 0)
         c_w0 = jnp.where(live_r, jnp.take(run_w0, sel_r), 0)
         c_i = jnp.where(live_r, jnp.take(run_i, sel_r), 0)
-        c_ic = jnp.cumsum(c_len)
+        c_ic = inclusive_scan(c_len)
         c_ex = c_ic - c_len
 
         axlo, axhi = cs.x_s - cs.r_s, cs.x_s + cs.r_s
