@@ -485,6 +485,9 @@ def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
     # is accurate to ~2^-20 relative — sound as a margined detector).
     ok = plan.ok & (plan.rows_needed <= rpw) \
         & (jnp.sum(pc.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
+    if capacity == 0:
+        return (jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.uint32),
+                total.astype(jnp.uint32), ok)
     ids_flat = jax.lax.bitcast_convert_type(
         plan.stream[:, 6, :], jnp.uint32).reshape(-1)
     ida, idb, trunc_safe = _mask_fill_emit(

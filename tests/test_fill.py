@@ -252,3 +252,17 @@ def test_mask_fill_multi_group():
            for a, b in zip(np.asarray(ida)[:int(total)],
                            np.asarray(idb)[:int(total)])}
     assert got == expected
+
+
+def test_mask_fill_count_only():
+    rng = np.random.RandomState(2)
+    n = 400
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.08, n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    ida, idb, total, ok = mask_fill(
+        jnp.asarray(coords), jnp.asarray(radii), 0, 2, 320, 6,
+        rpw=4, interpret=True)
+    assert bool(ok)
+    assert int(total) == len(expected)
+    assert ida.shape == (0,) and idb.shape == (0,)
