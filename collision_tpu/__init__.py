@@ -49,7 +49,7 @@ from .ops import (
 )
 from .utils import next_power_of_2, product, round_up
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Collider",

@@ -266,3 +266,42 @@ def test_mask_fill_count_only():
     assert bool(ok)
     assert int(total) == len(expected)
     assert ida.shape == (0,) and idb.shape == (0,)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_mask_fill_fuzz(seed):
+    # Random scene scale, density, and column config; knobs sized from
+    # the plan's own stats (the Collider's retry recipe) — the engine
+    # must be exact for every accepted configuration.
+    rng = np.random.RandomState(300 + seed)
+    n = int(rng.randint(50, 1200))
+    scale = 10.0 ** rng.uniform(-2, 2)
+    coords = (rng.random((n, 3)) * scale).astype("float32")
+    radii = (rng.random(n) * scale * rng.uniform(0.005, 0.15)).astype(
+        "float32")
+    gxy = int(rng.choice([1, 2, 3, 5]))
+    expected = brute_force_collisions(coords, radii)
+
+    cc, sr = 64, 4
+    for _ in range(4):
+        plan = plan_columns(
+            jnp.asarray(coords), jnp.asarray(radii), gxy, cc, sr)
+        if bool(plan.ok):
+            break
+        cc = int(np.ceil(int(plan.max_col) / 64) * 64) + 64
+        sr = int(plan.max_slab_rows) + 2
+    assert bool(plan.ok)
+    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_needed))
+    cap = max(len(expected) + int(rng.randint(0, 50)), 8)
+    ida, idb, total, ok = mask_fill(
+        jnp.asarray(coords), jnp.asarray(radii), cap, gxy, cc, sr,
+        rpw=rpw, interpret=True)
+    assert bool(ok)
+    assert int(total) == len(expected)
+    k = min(int(total), cap)
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(ida)[:k], np.asarray(idb)[:k])}
+    if k == int(total):
+        assert got == expected
+    else:
+        assert got <= expected and len(got) == k
