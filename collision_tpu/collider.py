@@ -184,13 +184,14 @@ def _column_collide(coords, radii, capacity, gxy, col_capacity, slab_rows,
                     rpw, cand_capacity, lo_scene, hi_scene):
     """Column-engine frame (the round-2 TPU fast path).
 
-    Count-only on TPU/float32 runs the Pallas banded-window sweep
-    (kernels/sweep.py) over the z-sorted column plan; elsewhere — and for
-    every fill request — the scatter-free run-expansion pipeline
-    (fill.py) counts/enumerates at input precision with no capacity cap.
-    ``ok`` is False when a static knob (column/slab capacity, static
-    rows-per-window, candidate bound) was insufficient; the plan's exact
-    stats let the host retry once with exact knobs (Collider does this).
+    On TPU/float32: count-only runs the Pallas banded-window sweep and
+    fills run the gather-free mask fill (kernels/sweep.py + fill.py),
+    both over the z-sorted column plan and with no capacity cap.
+    Elsewhere (CPU tests, float64) the portable run-expansion pipeline
+    counts/enumerates at input precision. ``ok`` is False when a static
+    knob (column/slab capacity, static rows-per-window, candidate bound)
+    was insufficient; the plan's exact stats let the host retry once
+    with exact knobs (Collider does this).
     """
     from .columns import plan_columns
     from .fill import mask_fill, run_fill
@@ -242,8 +243,8 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
       radii:  [n] float sphere radii.
       capacity: static pair-buffer capacity; 0 = count-only.
       stack_depth: static traversal-stack depth (reference uses 64).
-      method: "column" (z-sorted column sweep + run-expansion fill — the
-        TPU fast path, columns.py/fill.py), "bvh" (LBVH build + lockstep
+      method: "column" (z-sorted column sweep + mask fill — the TPU
+        fast path, columns.py/fill.py), "bvh" (LBVH build + lockstep
         traversal, the reference architecture re-designed for XLA),
         "grid" (round-1 dense uniform-grid stencil + Pallas kernels,
         kept for parity), or "auto" (column for large workloads, BVH
