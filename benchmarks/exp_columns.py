@@ -79,8 +79,8 @@ def main():
                 acc, c = carry
                 arrays = _plan_columns(c, radii, gxy, col_cap, slab_rows)
                 stream, starts, slab_r0, w0, wcap = arrays[:5]
-                cnt = _sweep_count(stream, starts, slab_r0, w0, wcap,
-                                   gxy, mc, slab_rows, rpw, False)
+                cnt, _ = _sweep_count(stream, starts, slab_r0, w0, wcap,
+                                      gxy, mc, slab_rows, rpw, False)
                 eps = (cnt % 2).astype(jnp.float32) * 1e-7
                 return acc + cnt, c + eps
             acc, _ = jax.lax.fori_loop(0, k, body, (jnp.int32(0), coords))

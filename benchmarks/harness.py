@@ -12,10 +12,23 @@ time is the difference between a K+1-chain and a 1-chain around one fetch
 each — cancelling both the round-trip and dispatch overheads.
 """
 
+import json
 import time
 from functools import partial
 
 import numpy as np
+
+#: When configured via :func:`set_jsonl`, every :func:`report` row is also
+#: appended as one machine-readable JSON line (round-over-round tables are
+#: generated from these instead of hand-transcribed).
+_JSONL = {"path": None, "tags": {}}
+
+
+def set_jsonl(path, **tags):
+    """Mirror all subsequent report() rows to ``path`` as JSON lines,
+    each tagged with ``tags`` (e.g. round="r3", backend="tpu-v5e")."""
+    _JSONL["path"] = path
+    _JSONL["tags"] = dict(tags)
 
 
 def bench_chained(step, args, rounds=10, repeats=3):
@@ -80,6 +93,14 @@ def bench(fn, *args, rounds=10, warmup=3, probe=None):
 
 
 def report(name, stats, extra=""):
+    if _JSONL["path"]:
+        row = {"name": name}
+        row.update(_JSONL["tags"])
+        row.update(stats)
+        if extra:
+            row["extra"] = extra
+        with open(_JSONL["path"], "a") as f:
+            f.write(json.dumps(row) + "\n")
     if "ms" in stats:
         print("{:<44s} {:>9.3f} ms/step {}".format(name, stats["ms"], extra),
               flush=True)

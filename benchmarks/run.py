@@ -22,6 +22,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="fewer/smaller configs")
+    parser.add_argument("--jsonl", default=None,
+                        help="also append machine-readable rows to this "
+                             "JSON-lines file")
+    parser.add_argument("--tag", action="append", default=[],
+                        help="key=value tag for every JSONL row "
+                             "(e.g. --tag round=r3)")
     args = parser.parse_args()
 
     import jax
@@ -31,7 +37,12 @@ def main():
         collide, exclusive_scan, find_offsets, scene_bounds, sort_key_value,
         sort_keys,
     )
-    from .harness import bench_chained, report
+    from .harness import bench_chained, report, set_jsonl
+
+    if args.jsonl:
+        tags = dict(t.split("=", 1) for t in args.tag)
+        tags.setdefault("backend", jax.devices()[0].platform)
+        set_jsonl(args.jsonl, **tags)
 
     rng = np.random.RandomState(4)
     print("backend:", jax.devices()[0].platform, file=sys.stderr)

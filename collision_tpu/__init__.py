@@ -13,9 +13,9 @@ Unlike the reference (whose ``collision/__init__.py`` is empty and forces
 submodule imports), the public surface is re-exported here.
 """
 
-from .collider import Collider, CollisionResult, collide
+from .collider import Collider, CollisionResult, collide, interpret_kernels
 from .columns import ColumnPlan, default_column_config, plan_columns
-from .fill import candidate_count, run_fill
+from .fill import candidate_count, mask_fill, run_fill
 from .grid import GridCounts, build_grid, grid_count
 from .sim import simulate
 from .lbvh import LBVH, NO_NODE, build, leaf_bounds, refit
@@ -55,10 +55,12 @@ __all__ = [
     "Collider",
     "CollisionResult",
     "collide",
+    "interpret_kernels",
     "ColumnPlan",
     "default_column_config",
     "plan_columns",
     "candidate_count",
+    "mask_fill",
     "run_fill",
     "GridCounts",
     "build_grid",

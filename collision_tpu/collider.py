@@ -23,6 +23,7 @@ Contract parity with the reference (SURVEY.md §3.1):
   5. Morton quantization: 10 bits/axis over the exact scene AABB of centers.
 """
 
+import contextlib
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -48,11 +49,12 @@ class CollisionResult(NamedTuple):
                capacity) hold 0xFFFFFFFF.
     scene_min: [3] scene AABB lower corner (of centers).
     scene_max: [3] scene AABB upper corner.
-    ok:        bool — True unless a static capacity knob of the selected
-               method overflowed (grid cell capacity); on False the caller
-               must retry with larger knobs (the grid analog of the
-               reference's count-past-capacity retry contract). None means
-               trivially ok (BVH path has no such knob).
+    ok:        bool — True unless a static knob of the selected method
+               was insufficient (grid cell capacity, column/window knobs,
+               BVH traversal-stack depth, count near int32 wrap); on False
+               the caller must retry with larger knobs (the static-shape
+               analog of the reference's count-past-capacity retry
+               contract). None means trivially ok (single-sphere scene).
     """
 
     count: jax.Array
@@ -76,6 +78,27 @@ class CollisionResult(NamedTuple):
 #: n at or above which "auto" prefers the column engine.
 GRID_AUTO_THRESHOLD = 65536
 COLUMN_AUTO_THRESHOLD = GRID_AUTO_THRESHOLD
+
+#: When True, the TPU Pallas kernel paths (column sweep / mask fill) run
+#: under the Pallas interpreter on non-TPU backends instead of falling
+#: back to the portable XLA pipelines — lets the CPU test suite exercise
+#: the exact code (and retry logic) that runs compiled on hardware.
+_INTERPRET_KERNELS = False
+
+
+@contextlib.contextmanager
+def interpret_kernels():
+    """Context manager: route f32 column collides through the Pallas
+    kernels in interpreter mode on CPU (tests the TPU code paths —
+    including ``Collider._retry_exact``'s plan-stat escalation — without
+    hardware)."""
+    global _INTERPRET_KERNELS
+    prev = _INTERPRET_KERNELS
+    _INTERPRET_KERNELS = True
+    try:
+        yield
+    finally:
+        _INTERPRET_KERNELS = prev
 
 #: Largest pair capacity the legacy grid engine keeps in VMEM during its
 #: sweep (the column fill engine has no such cap — pairs are assembled in
@@ -181,39 +204,46 @@ def _grid_collide(coords, radii, capacity, grid_dim, cell_capacity,
 
 
 def _column_collide(coords, radii, capacity, gxy, col_capacity, slab_rows,
-                    rpw, cand_capacity, lo_scene, hi_scene):
+                    rpw, cand_capacity, lo_scene, hi_scene,
+                    kernel_mode="native"):
     """Column-engine frame (the round-2 TPU fast path).
 
     On TPU/float32: count-only runs the Pallas banded-window sweep and
     fills run the gather-free mask fill (kernels/sweep.py + fill.py),
     both over the z-sorted column plan and with no capacity cap.
     Elsewhere (CPU tests, float64) the portable run-expansion pipeline
-    counts/enumerates at input precision. ``ok`` is False when a static
-    knob (column/slab capacity, static rows-per-window, candidate bound)
-    was insufficient; the plan's exact stats let the host retry once
-    with exact knobs (Collider does this).
+    counts/enumerates at input precision — unless ``kernel_mode ==
+    "interpret"``, which runs the f32 Pallas paths under the interpreter
+    so tests cover the hardware code. ``ok`` is False when a static knob
+    (column/slab capacity, static rows-per-window, candidate bound,
+    int32 count headroom) was insufficient; the plan's exact stats let
+    the host retry once with exact knobs (Collider does this).
     """
     from .columns import plan_columns
     from .fill import mask_fill, run_fill
-    from .kernels.sweep import sweep_count
+    from .kernels.sweep import sweep_count_guarded
 
-    on_tpu = jax.default_backend() == "tpu" and coords.dtype == jnp.float32
-    if capacity == 0 and on_tpu:
+    f32 = coords.dtype == jnp.float32
+    on_tpu = jax.default_backend() == "tpu" and f32
+    use_kernels = on_tpu or (kernel_mode == "interpret" and f32)
+    interp = not on_tpu
+    if capacity == 0 and use_kernels:
         plan = plan_columns(
             jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
             gxy, col_capacity, slab_rows,
         )
-        count = sweep_count(plan, rpw=rpw)
-        ok = plan.ok & (plan.rows_needed <= rpw)
+        count, no_ovf = sweep_count_guarded(plan, rpw=rpw, interpret=interp)
+        ok = plan.ok & (plan.rows_needed <= rpw) & no_ovf
         return CollisionResult(
             count.astype(jnp.uint32), None, lo_scene, hi_scene, ok=ok)
-    if on_tpu:
+    if use_kernels:
         # Gather-free mask fill (fill.py): SoA internally — a [cap, 2]
         # AoS u32 array tiles to 64x its logical size on TPU, so the
         # stack is deferred to this API boundary (fine at API-scale
         # capacities; huge enumerations should call mask_fill directly).
         ida, idb, total, ok = mask_fill(
-            coords, radii, capacity, gxy, col_capacity, slab_rows, rpw=rpw)
+            coords, radii, capacity, gxy, col_capacity, slab_rows, rpw=rpw,
+            interpret=interp)
         pairs = jnp.stack([ida, idb], axis=1)
         return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
     pairs, total, ok = run_fill(coords, radii, capacity, gxy, cand_capacity)
@@ -230,12 +260,10 @@ def default_cand_capacity(n, capacity):
     return max(1 << 17, 8 * capacity, 32 * n)
 
 
-@partial(jax.jit, static_argnames=(
-    "capacity", "stack_depth", "method", "grid_dim", "cell_capacity",
-    "gxy", "col_capacity", "slab_rows", "rpw", "cand_capacity"))
 def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
             grid_dim=None, cell_capacity=None, gxy=None, col_capacity=None,
-            slab_rows=None, rpw=DEFAULT_RPW, cand_capacity=None):
+            slab_rows=None, rpw=DEFAULT_RPW, cand_capacity=None,
+            kernel_mode=None):
     """One fully-jitted broad-phase step.
 
     Args:
@@ -254,6 +282,10 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
         (columns.py); None resolves defaults from n at trace time.
       cand_capacity: static candidate bound of the fill pipeline
         (fill.py); None resolves default_cand_capacity.
+      kernel_mode: "native" (Pallas kernels on TPU, portable XLA
+        elsewhere) or "interpret" (run the Pallas paths under the
+        interpreter on CPU — test-only); None resolves from the
+        :func:`interpret_kernels` context.
 
     On any static-knob overflow the result's ``ok`` is False and the
     caller retries with larger knobs (Collider automates this using the
@@ -262,6 +294,22 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
     Returns:
       :class:`CollisionResult`.
     """
+    if kernel_mode is None:
+        kernel_mode = "interpret" if _INTERPRET_KERNELS else "native"
+    return _collide(
+        coords, radii, capacity, stack_depth, method, grid_dim,
+        cell_capacity, gxy, col_capacity, slab_rows, rpw, cand_capacity,
+        kernel_mode)
+
+
+@partial(jax.jit, static_argnames=(
+    "capacity", "stack_depth", "method", "grid_dim", "cell_capacity",
+    "gxy", "col_capacity", "slab_rows", "rpw", "cand_capacity",
+    "kernel_mode"))
+def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
+             method="auto", grid_dim=None, cell_capacity=None, gxy=None,
+             col_capacity=None, slab_rows=None, rpw=DEFAULT_RPW,
+             cand_capacity=None, kernel_mode="native"):
     coords = jnp.asarray(coords)
     radii = jnp.asarray(radii)
     n = coords.shape[0]
@@ -299,7 +347,7 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
     if method == "column":
         return _column_collide(
             coords, radii, capacity, gxy, col_capacity, slab_rows, rpw,
-            cand_capacity, lo_scene, hi_scene,
+            cand_capacity, lo_scene, hi_scene, kernel_mode=kernel_mode,
         )
     if method == "grid":
         return _grid_collide(
@@ -316,13 +364,16 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
     lo, hi = refit(tree, llo, lhi)
 
     if capacity == 0:
-        counts = traverse_count(tree, lo, hi, stack_depth=stack_depth)
+        counts, ok = traverse_count(
+            tree, lo, hi, stack_depth=stack_depth, with_ok=True)
         return CollisionResult(
-            jnp.sum(counts, dtype=jnp.uint32), None, lo_scene, hi_scene
+            jnp.sum(counts, dtype=jnp.uint32), None, lo_scene, hi_scene,
+            ok=ok,
         )
 
-    pairs, total = find_pairs(tree, lo, hi, capacity, stack_depth=stack_depth)
-    return CollisionResult(total, pairs, lo_scene, hi_scene)
+    pairs, total, ok = find_pairs(
+        tree, lo, hi, capacity, stack_depth=stack_depth, with_ok=True)
+    return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
 
 
 class Collider:
@@ -340,7 +391,7 @@ class Collider:
     id_dtype = np.dtype("uint32")
 
     def __init__(self, size, ngroups=8, group_size=128,
-                 coord_dtype=np.dtype("float32")):
+                 coord_dtype=np.dtype("float32"), method="auto"):
         coord_dtype = np.dtype(coord_dtype)
         if coord_dtype.kind != "f":
             raise ValueError("Invalid dtype: {}".format(coord_dtype))
@@ -349,6 +400,9 @@ class Collider:
         self.ngroups = ngroups
         self.group_size = group_size
         self.coord_dtype = coord_dtype
+        #: Engine selection forwarded to :func:`collide` (the reference
+        #: has one engine; "auto" picks per problem size here).
+        self.method = method
 
     @staticmethod
     def _check_params(size, ngroups, group_size):
@@ -435,7 +489,7 @@ class Collider:
         # (collision.py:84-119). The always-exact BVH engine is the last
         # resort for scenes no static configuration can hold.
         capacity = int(n_collisions)
-        result = collide(coords, radii, capacity, method="auto")
+        result = collide(coords, radii, capacity, method=self.method)
         if result.ok is not None and not bool(result.ok):
             result = self._retry_exact(coords, radii, capacity)
         if collisions is None or n_collisions == 0:
@@ -452,9 +506,12 @@ class Collider:
         from .fill import candidate_count
         from .kernels.sweep import RPW_LADDER
 
+        # The plan-stat branch needs the Pallas kernel paths — available
+        # compiled on TPU or interpreted under interpret_kernels() (the
+        # capability the CPU tests exercise).
         on_tpu = jax.default_backend() == "tpu"
         f32 = self.coord_dtype == np.float32
-        if on_tpu and f32:
+        if f32 and (on_tpu or _INTERPRET_KERNELS):
             # Count sweep / mask fill: the column plan reports the exact
             # column occupancy / slab height / window row span it needs.
             gxy, col_cap, slab_rows = default_column_config(self.size)
@@ -479,7 +536,7 @@ class Collider:
                 # the full window tables).
                 col_cap = max(col_cap, need_col)
                 slab_rows = max(slab_rows, need_slab)
-            return collide(coords, radii, capacity, method="bvh")
+            return self._bvh_exact(coords, radii, capacity)
         # Fill (or CPU/f64 count): the run-expansion pipeline needs a
         # larger candidate bound; its exact requirement is one cheap
         # (expansion-free) evaluation away.
@@ -491,4 +548,16 @@ class Collider:
                           cand_capacity=cand)
             if bool(res.ok):
                 return res
-        return collide(coords, radii, capacity, method="bvh")
+        return self._bvh_exact(coords, radii, capacity)
+
+    def _bvh_exact(self, coords, radii, capacity):
+        """Last-resort BVH collide, escalating the traversal-stack depth
+        if a push was clipped (the reference would silently corrupt its
+        traversal here, collision.cl:186-191)."""
+        depth = STACK_DEPTH
+        while True:
+            res = collide(coords, radii, capacity, method="bvh",
+                          stack_depth=depth)
+            if res.ok is None or bool(res.ok) or depth >= 4096:
+                return res
+            depth *= 2

@@ -68,6 +68,8 @@ class ColumnPlan(NamedTuple):
     max_col: jax.Array     # int32 stats for host retry
     max_slab_rows: jax.Array
     rows_needed: jax.Array  # int32: max stream rows any window spans
+    rows_rolled: jax.Array  # int32: max ceil(window/128) — the rolled
+    #                         count kernel's requirement (alignment-free)
     n: int
     gxy: int
     mc: int
@@ -267,7 +269,7 @@ def _plan_columns(coords, radii, gxy, col_capacity, slab_rows):
         key_s, jnp.stack(key_q).reshape(-1)
     ).reshape(10, ncols, mc).astype(jnp.int32)
 
-    w0_list, wcap_list, rows_list = [], [], []
+    w0_list, wcap_list, rows_list, rolled_list = [], [], [], []
     for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
         w0 = all_pos[2 * off]
         wend = all_pos[2 * off + 1]
@@ -280,6 +282,7 @@ def _plan_columns(coords, radii, gxy, col_capacity, slab_rows):
         w0_list.append(w0)
         wcap_list.append(wcap)
         rows_list.append((w0 % LANE + wcap + LANE - 1) // LANE)
+        rolled_list.append((wcap + LANE - 1) // LANE)
 
     w0_tab = jnp.stack(w0_list, axis=-1)      # [ncols, mc, 5]
     wcap_tab = jnp.stack(wcap_list, axis=-1)
@@ -288,6 +291,7 @@ def _plan_columns(coords, radii, gxy, col_capacity, slab_rows):
     # Stream rows the kernel must visit per window: the static rows-per-
     # window knob must cover this or pairs would be dropped (host retry).
     win_rows_needed = jnp.max(jnp.stack(rows_list))
+    win_rows_rolled = jnp.max(jnp.stack(rolled_list))
 
     # --- capacity checks (host retry stats; never silently wrong) ---
     col_lens = starts[1:ncols + 1] - starts[:ncols]
@@ -302,4 +306,5 @@ def _plan_columns(coords, radii, gxy, col_capacity, slab_rows):
 
     return (stream, starts, slab_r0.astype(jnp.int32), w0_tab, wcap_tab,
             ok, max_col.astype(jnp.int32), max_slab.astype(jnp.int32),
-            win_rows_needed.astype(jnp.int32))
+            win_rows_needed.astype(jnp.int32),
+            win_rows_rolled.astype(jnp.int32))

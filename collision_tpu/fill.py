@@ -91,20 +91,6 @@ def _run_of_consecutive(ic, k0, m):
     return (r0[:, None] + radd).reshape(m)
 
 
-def _two_level_cumsum(mask_i32, block):
-    """Inclusive cumsum of a huge 0/1 array: per-block inner cumsums plus
-    a cumsum of block totals — two passes instead of XLA's log-depth
-    reduce-window chain."""
-    m = mask_i32.shape[0]
-    nb = -(-m // block)
-    padded = jnp.zeros((nb * block,), jnp.int32).at[:m].set(mask_i32)
-    rows = padded.reshape(nb, block)
-    inner = jnp.cumsum(rows, axis=1, dtype=jnp.int32)
-    bases = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(inner[:, -1])[:-1]])
-    return (inner + bases[:, None]).reshape(-1)[:m]
-
-
 def _candidate_runs(cs, gxy):
     """Per-sphere conservative z-window runs, 5 half-stencil offsets each.
 
@@ -230,7 +216,7 @@ def _run_fill(coords, radii, capacity, gxy, cand_capacity, chunk):
         chunk_mask, jnp.int32(0), None, length=nch)
     mask = mask.reshape(-1)[:cand_capacity]
 
-    ic_mask = _two_level_cumsum(mask.astype(jnp.int32), 4096)
+    ic_mask = inclusive_scan(mask.astype(jnp.int32))
     total = ic_mask[-1]
 
     if capacity == 0:

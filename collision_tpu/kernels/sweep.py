@@ -59,12 +59,12 @@ def mask_groups(mc, rpw):
 
 def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
     def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
-               total_ref, *scratch):
+               total_ref, totf_ref, *scratch):
         if direct_stream:
-            cursor = scratch[0]
+            cursor, cursor_f = scratch
             bufs = sems = None
         else:
-            bufs, sems, cursor = scratch
+            bufs, sems, cursor, cursor_f = scratch
         x = pl.program_id(0)
 
         if not direct_stream:
@@ -94,6 +94,7 @@ def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
         @pl.when(x == 0)
         def _init():
             cursor[0] = 0
+            cursor_f[0] = 0.0
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
@@ -125,7 +126,8 @@ def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
             l = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 1)
             return bufs[slot, l, pl.ds(0, 6), :]
 
-        def y_body(y, acc):
+        def y_body(y, carry):
+            tot_i, tot_f = carry
             col = x * gxy + y
             a0 = starts_ref[col]
             a1 = starts_ref[col + 1]
@@ -167,15 +169,160 @@ def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
                         acc = acc + fold
                 return acc
 
-            return jax.lax.fori_loop(0, nchunks, k_body, acc)
+            acc = jax.lax.fori_loop(
+                0, nchunks, k_body, jnp.zeros((8, LANE), jnp.int32))
+            # Fold per column: the int32 vector accumulator wraps at 2^31
+            # hits per element with no error (the reference's uint32 atomic
+            # counter is good to 2^32, collision.cl:203), but a wrap within
+            # one column needs a >= 26M-sphere column (mc*5*rpw*8 >= 2^31)
+            # — unreachable — so the f32 scalar total below is a faithful
+            # overflow detector for the int32 grand total (XLA's tree sum
+            # is ~2^-20-relative accurate; the host compares against a
+            # 2^26 margin, mirroring the mask/run fill guards in fill.py).
+            return (tot_i + jnp.sum(acc, dtype=jnp.int32),
+                    tot_f + jnp.sum(acc.astype(jnp.float32),
+                                    dtype=jnp.float32))
 
-        acc = jax.lax.fori_loop(
-            0, gxy, y_body, jnp.zeros((8, LANE), jnp.int32))
-        cursor[0] = cursor[0] + jnp.sum(acc)
+        tot_i, tot_f = jax.lax.fori_loop(
+            0, gxy, y_body, (jnp.int32(0), jnp.float32(0.0)))
+        cursor[0] = cursor[0] + tot_i
+        cursor_f[0] = cursor_f[0] + tot_f
 
         @pl.when(x == pl.num_programs(0) - 1)
         def _finish():
             total_ref[0] = cursor[0]
+            totf_ref[0] = cursor_f[0]
+
+    return kernel
+
+
+def _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct_stream):
+    """Count sweep with lane-rolled window reads.
+
+    The plain kernel tests whole 128-lane stream rows, so a window of
+    width w starting at an arbitrary lane spans ceil((w0%128 + w)/128)
+    rows — at typical widths (~64-128) that is 2 rows ~78% of the time,
+    forcing rpw=2 and testing ~2x the needed lanes. Here each window
+    read is rolled so lane 0 = sphere w0 (the same two-row roll-merge
+    read_aligned uses for the a side): coverage becomes ceil(w/128)
+    rows, alignment-free, so rpw=1 suffices whenever every window is
+    narrower than 128 — the plan reports this bound as ``rows_rolled``.
+    The in-window test also simplifies: lane index < wcap replaces the
+    two-sided jglob range check.
+    """
+    def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
+               total_ref, totf_ref, *scratch):
+        if direct_stream:
+            cursor, cursor_f = scratch
+            bufs = sems = None
+        else:
+            bufs, sems, cursor, cursor_f = scratch
+        x = pl.program_id(0)
+
+        if not direct_stream:
+            def start_slab(s, slot):
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[s], slab_rows)],
+                    bufs.at[slot], sems.at[slot]).start()
+
+            @pl.when(x == 0)
+            def _init_dma():
+                start_slab(0, 0)
+                start_slab(1, 1)
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[0], slab_rows)],
+                    bufs.at[0], sems.at[0]).wait()
+
+            pltpu.make_async_copy(
+                stream_ref.at[pl.ds(r0_ref[x + 1], slab_rows)],
+                bufs.at[(x + 1) % 3], sems.at[(x + 1) % 3]).wait()
+
+            @pl.when(x + 2 <= gxy)
+            def _prefetch():
+                start_slab(x + 2, (x + 2) % 3)
+
+        @pl.when(x == 0)
+        def _init():
+            cursor[0] = 0
+            cursor_f[0] = 0.0
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        sub_full = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+        iota6 = jax.lax.broadcasted_iota(jnp.int32, (6, LANE), 1)
+
+        def read_win(dx, g):
+            """[6, 128]: test components of spheres g..g+127 (lane-rolled
+            so sphere g is at lane 0), from the slab holding x+dx."""
+            lrow = g // LANE
+            lane0 = g % LANE
+            if direct_stream:
+                lr = jnp.clip(lrow, 0, stream_ref.shape[0] - 2)
+                two = stream_ref[pl.ds(lr, 2), pl.ds(0, 6), :]
+            else:
+                slot = jax.lax.rem(x + dx, 3)
+                lr = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 2)
+                two = bufs[slot, pl.ds(lr, 2), pl.ds(0, 6), :]
+            rolled = pltpu.roll(two, -lane0, 2)
+            return jnp.where(iota6 < LANE - lane0, rolled[0], rolled[1])
+
+        def y_body(y, carry):
+            tot_i, tot_f = carry
+            col = x * gxy + y
+            a0 = starts_ref[col]
+            a1 = starts_ref[col + 1]
+            nchunks = jnp.minimum((a1 - a0 + CHUNK - 1) // CHUNK, mc)
+
+            def k_body(k, acc):
+                g0 = a0 + k * CHUNK
+                alen = jnp.minimum(a1 - g0, CHUNK)
+                a6 = read_win(0, g0)
+                aT = jnp.swapaxes(a6, 0, 1)
+                aT = jnp.where(sub_full < alen, aT, jnp.inf)
+                axlo = aT[:CHUNK, 0:1]
+                aylo = aT[:CHUNK, 1:2]
+                azlo = aT[:CHUNK, 2:3]
+                axhi = aT[:CHUNK, 3:4]
+                ayhi = aT[:CHUNK, 4:5]
+                azhi = aT[:CHUNK, 5:6]
+                tbase = (y * mc + k) * 5
+
+                for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
+                    w0 = w0_ref[0, 0, tbase + off]
+                    wcap = wcap_ref[0, 0, tbase + off]
+                    for r in range(rpw):
+                        b6 = read_win(dx, w0 + r * LANE)
+                        jrel = r * LANE + lane_i
+                        m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
+                        m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
+                        m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
+                        m &= jrel < wcap
+                        if off == 0:
+                            # Intra-column dedup: j > i. w0 >= g0 by the
+                            # plan's self-window clip.
+                            m &= w0 + jrel > g0 + sub_c
+                        c = jnp.where(m, 1, 0)
+                        fold = c[0:8]
+                        for f in range(8, CHUNK, 8):
+                            fold = fold + c[f:f + 8]
+                        acc = acc + fold
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, nchunks, k_body, jnp.zeros((8, LANE), jnp.int32))
+            return (tot_i + jnp.sum(acc, dtype=jnp.int32),
+                    tot_f + jnp.sum(acc.astype(jnp.float32),
+                                    dtype=jnp.float32))
+
+        tot_i, tot_f = jax.lax.fori_loop(
+            0, gxy, y_body, (jnp.int32(0), jnp.float32(0.0)))
+        cursor[0] = cursor[0] + tot_i
+        cursor_f[0] = cursor_f[0] + tot_f
+
+        @pl.when(x == pl.num_programs(0) - 1)
+        def _finish():
+            total_ref[0] = cursor[0]
+            totf_ref[0] = cursor_f[0]
 
     return kernel
 
@@ -272,7 +419,12 @@ def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream):
             axhi = aT[:CHUNK, 3:4]
             ayhi = aT[:CHUNK, 4:5]
             azhi = aT[:CHUNK, 5:6]
-            tbase = (y * mc + k) * 5
+            # Clamp: when kg does not divide mc the last group's padded
+            # slots have k >= mc, which would read the window table out of
+            # bounds (the values are masked out either way — dead chunks
+            # carry all-inf a sides — but the dynamic SMEM read itself
+            # must stay in range on hardware).
+            tbase = (y * mc + jnp.minimum(k, mc - 1)) * 5
 
             packed_all = []
             for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
@@ -376,25 +528,41 @@ def _sweep_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
     return out
 
 
-def sweep_count(plan: ColumnPlan, rpw=2, interpret=False):
+def sweep_count(plan: ColumnPlan, rpw=2, interpret=False, rolled=False):
     """Exact pair count from a column plan.
 
-    Exact iff ``plan.ok`` and ``plan.rows_needed <= rpw`` (the caller
-    retries with escalated knobs otherwise). Returns int32 scalar.
+    Exact iff ``plan.ok`` and the window-row bound holds:
+    ``plan.rows_needed <= rpw`` for the plain kernel, or the weaker
+    ``plan.rows_rolled <= rpw`` with ``rolled=True`` (the caller retries
+    with escalated knobs otherwise). Returns int32 scalar.
     """
-    return _sweep_count(
+    return sweep_count_guarded(plan, rpw, interpret, rolled)[0]
+
+
+def sweep_count_guarded(plan: ColumnPlan, rpw=2, interpret=False,
+                        rolled=False):
+    """(count, no_overflow): the count plus an int32-wrap detector.
+
+    ``no_overflow`` is False when the scene's true pair total is near or
+    past 2^31 (the kernel's parallel f32 accumulation, margined by 2^26)
+    — the count-only analog of the fill paths' popcount guard; callers
+    AND it into ``ok``.
+    """
+    count, count_f = _sweep_count(
         plan.stream, plan.starts, plan.slab_r0, plan.w0, plan.wcap,
-        plan.gxy, plan.mc, plan.slab_rows, rpw, interpret,
+        plan.gxy, plan.mc, plan.slab_rows, rpw, interpret, rolled,
     )
+    return count, count_f < float(2 ** 31 - 2 ** 26)
 
 
 @partial(jax.jit, static_argnames=(
-    "gxy", "mc", "slab_rows", "rpw", "interpret"))
+    "gxy", "mc", "slab_rows", "rpw", "interpret", "rolled"))
 def _sweep_count(stream, starts, slab_r0, w0_tab, wcap_tab,
-                 gxy, mc, slab_rows, rpw=2, interpret=False):
+                 gxy, mc, slab_rows, rpw=2, interpret=False, rolled=False):
     K = gxy * mc * 5
     direct = bool(interpret)
-    kernel = _make_kernel(gxy, mc, slab_rows, rpw, direct)
+    make = _make_rolled_kernel if rolled else _make_kernel
+    kernel = make(gxy, mc, slab_rows, rpw, direct)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts
@@ -405,23 +573,26 @@ def _sweep_count(stream, starts, slab_r0, w0_tab, wcap_tab,
                      memory_space=pltpu.SMEM),                 # wcap
         pl.BlockSpec(memory_space=pltpu.VMEM if direct else pl.ANY),
     ]
-    scratch = [pltpu.SMEM((1,), jnp.int32)]
+    scratch = [pltpu.SMEM((1,), jnp.int32), pltpu.SMEM((1,), jnp.float32)]
     if not direct:
         scratch = [
             pltpu.VMEM((3, slab_rows, 8, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
         ]
 
-    out = pl.pallas_call(
+    out, outf = pl.pallas_call(
         kernel,
         grid=(gxy,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1,), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
     )(starts, slab_r0,
       w0_tab.reshape(gxy, 1, K), wcap_tab.reshape(gxy, 1, K),
       stream)
-    return out[0]
+    return out[0], outf[0]

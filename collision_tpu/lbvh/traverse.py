@@ -61,6 +61,12 @@ def _traverse(tree, lo, hi, on_hits, carry, stack_depth, queries=None):
     ``queries`` optionally restricts the pass to a subset of sorted-leaf
     indices (uint32[m]) — the seam the multi-chip path shards on: the tree
     is replicated, each device traverses its own query slice.
+
+    Returns (carry, ok): ``ok`` is False if any push hit the stack
+    ceiling. The reference silently overwrites its top slot in that case
+    (undefined behavior waiting to happen, collision.cl:186-191); here the
+    push is clipped the same way but *detected*, so callers retry with a
+    deeper stack instead of silently losing the deferred subtree.
     """
     n = tree.n_leaves
     n_int = n - 1
@@ -79,11 +85,11 @@ def _traverse(tree, lo, hi, on_hits, carry, stack_depth, queries=None):
     lanes = jnp.arange(m)
 
     def cond(state):
-        idx, _, _, _ = state
+        idx = state[0]
         return jnp.any(idx != SENTINEL)
 
     def body(state):
-        idx, stack, sp, carry = state
+        idx, stack, sp, ovf, carry = state
         active = idx != SENTINEL
         i = jnp.where(active, idx, 0).astype(jnp.int32)
         i = jnp.clip(i, 0, n_int - 1)
@@ -109,6 +115,7 @@ def _traverse(tree, lo, hi, on_hits, carry, stack_depth, queries=None):
         popped = stack[lanes, read_at]
         write_at = jnp.clip(sp, 0, stack_depth - 1)
         push = ta & tb & active
+        ovf = ovf | jnp.any(push & (sp >= stack_depth))
         stack = stack.at[lanes, write_at].set(
             jnp.where(push, cb, stack[lanes, write_at])
         )
@@ -117,31 +124,36 @@ def _traverse(tree, lo, hi, on_hits, carry, stack_depth, queries=None):
         sp = jnp.where(
             active, sp + push.astype(jnp.int32) - pop.astype(jnp.int32), sp
         )
-        return idx, stack, sp, carry
+        return idx, stack, sp, ovf, carry
 
-    _, _, _, carry = jax.lax.while_loop(cond, body, (idx0, stack0, sp0, carry))
-    return carry
+    _, _, _, ovf, carry = jax.lax.while_loop(
+        cond, body, (idx0, stack0, sp0, jnp.bool_(False), carry))
+    return carry, ~ovf
 
 
-def traverse_count(tree, lo, hi, stack_depth=STACK_DEPTH, queries=None):
+def traverse_count(tree, lo, hi, stack_depth=STACK_DEPTH, queries=None,
+                   with_ok=False):
     """Pass 1: number of pairs each query leaf will emit. Returns uint32[m]
-    (m = number of queries; all n leaves when ``queries`` is None)."""
+    (m = number of queries; all n leaves when ``queries`` is None), or
+    (counts, ok) when ``with_ok`` — ok False on a clipped stack push."""
     n = tree.n_leaves
     m = n if queries is None else queries.shape[0]
     if n <= 1:
-        return jnp.zeros((m,), jnp.uint32)
+        counts = jnp.zeros((m,), jnp.uint32)
+        return (counts, jnp.bool_(True)) if with_ok else counts
 
     def on_hits(counts, q, hit_a, hit_b, ca, cb):
         return counts + hit_a.astype(jnp.uint32) + hit_b.astype(jnp.uint32)
 
-    return _traverse(
+    counts, ok = _traverse(
         tree, lo, hi, on_hits, jnp.zeros((m,), jnp.uint32), stack_depth,
         queries=queries,
     )
+    return (counts, ok) if with_ok else counts
 
 
 def traverse_fill(tree, lo, hi, offsets, capacity, stack_depth=STACK_DEPTH,
-                  queries=None):
+                  queries=None, with_ok=False):
     """Pass 2: write query q's k-th pair at offsets[q] + k.
 
     ``offsets`` is aligned with the query vector (uint32[m]) and holds each
@@ -157,7 +169,7 @@ def traverse_fill(tree, lo, hi, offsets, capacity, stack_depth=STACK_DEPTH,
     m = n if queries is None else queries.shape[0]
     pairs0 = jnp.full((capacity, 2), NO_PAIR, jnp.uint32)
     if n <= 1 or capacity == 0:
-        return pairs0
+        return (pairs0, jnp.bool_(True)) if with_ok else pairs0
     n_int = n - 1
     leaf_id = tree.leaf_id
     offsets = offsets.astype(jnp.uint32)
@@ -180,22 +192,26 @@ def traverse_fill(tree, lo, hi, offsets, capacity, stack_depth=STACK_DEPTH,
         k = k + hit_b.astype(jnp.uint32)
         return pairs, k
 
-    pairs, _ = _traverse(
+    (pairs, _), ok = _traverse(
         tree, lo, hi, on_hits,
         (pairs0, jnp.zeros((m,), jnp.uint32)), stack_depth,
         queries=queries,
     )
-    return pairs
+    return (pairs, ok) if with_ok else pairs
 
 
-def find_pairs(tree, lo, hi, capacity, stack_depth=STACK_DEPTH):
+def find_pairs(tree, lo, hi, capacity, stack_depth=STACK_DEPTH,
+               with_ok=False):
     """Count-then-fill: returns (pairs uint32[capacity, 2], total uint32).
 
     ``total`` is the exact number of colliding pairs, which may exceed
     ``capacity``; only min(total, capacity) slots of ``pairs`` are written.
+    With ``with_ok`` a third element reports stack-overflow-free
+    completion (False -> retry with a deeper ``stack_depth``).
     """
-    counts = traverse_count(tree, lo, hi, stack_depth=stack_depth)
+    counts, ok = traverse_count(
+        tree, lo, hi, stack_depth=stack_depth, with_ok=True)
     total = jnp.sum(counts, dtype=jnp.uint32)
     offsets = exclusive_scan(counts)
     pairs = traverse_fill(tree, lo, hi, offsets, capacity, stack_depth=stack_depth)
-    return pairs, total
+    return (pairs, total, ok) if with_ok else (pairs, total)

@@ -26,7 +26,6 @@ from ..collider import CollisionResult
 from ..columns import _column_sort
 from ..fill import (
     NO_PAIR, _S, _auto_strides, _candidate_runs, _run_of_consecutive,
-    _two_level_cumsum,
 )
 from ..ops.offset import sorted_bucket_starts
 from ..ops.scan import inclusive_scan
@@ -88,7 +87,7 @@ def fill_sharded(coords, radii, capacity, gxy, cand_capacity, mesh,
             & (jnp.take(azlo, i) < jnp.take(azhi, jc))
         m &= k < total_cand
 
-        ic_local = _two_level_cumsum(m.astype(jnp.int32), 4096)
+        ic_local = inclusive_scan(m.astype(jnp.int32))
         local_total = ic_local[-1]
         totals = jax.lax.all_gather(local_total, axis)
         dev_base = jnp.sum(

@@ -36,6 +36,13 @@ def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
         (round-1 engine). Static-capacity overflow in any step surfaces
         via the returned ``ok`` flag.
 
+        .. note:: breaking default change in round 2 — ``method`` used
+           to be the always-exact "bvh"; with "auto", steps at
+           n >= 65536 use the column engine with fixed default knobs and
+           no in-scan retry, so clustered scenes can return ``ok=False``
+           (counts under-reported). Callers MUST check ``ok`` — or pass
+           ``method="bvh"`` for the old always-exact behavior.
+
     Returns:
       (final_coords, final_velocities, counts[n_steps], ok) and, when
       capacity > 0, the final step's pairs inserted before ``ok``.

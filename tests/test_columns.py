@@ -17,7 +17,8 @@ from collision_tpu.kernels.sweep import RPW_LADDER, sweep_count
 from collision_tpu.testing import brute_force_collisions
 
 
-def _count(coords, radii, gxy=None, col_cap=None, slab_rows=None):
+def _count(coords, radii, gxy=None, col_cap=None, slab_rows=None,
+           rolled=False):
     n = len(coords)
     dg, dc, ds = default_column_config(n)
     gxy = gxy or dg
@@ -26,9 +27,9 @@ def _count(coords, radii, gxy=None, col_cap=None, slab_rows=None):
     plan = plan_columns(
         jnp.asarray(coords), jnp.asarray(radii), gxy, col_cap, slab_rows)
     assert bool(plan.ok), (int(plan.max_col), int(plan.max_slab_rows))
-    needed = int(plan.rows_needed)
+    needed = int(plan.rows_rolled if rolled else plan.rows_needed)
     rpw = next(r for r in RPW_LADDER if r >= needed)
-    return int(sweep_count(plan, rpw=rpw, interpret=True))
+    return int(sweep_count(plan, rpw=rpw, interpret=True, rolled=rolled))
 
 
 @pytest.mark.parametrize("n,rscale,seed", [
@@ -136,3 +137,49 @@ def test_sweep_count_large_random():
     radii = rng.uniform(0, 1.2 / np.sqrt(n), n).astype("float32")
     expected = len(brute_force_collisions(coords, radii))
     assert _count(coords, radii) == expected
+
+
+@pytest.mark.parametrize("n,rscale,seed", [
+    (64, 1.0, 0),
+    (317, 1.5, 1),
+    (1000, 0.5, 2),
+    (2048, 2.0, 3),
+    (5000, 1.2, 10),
+])
+def test_rolled_sweep_count_parity(n, rscale, seed):
+    # The rolled-window kernel (round-3 fast path) must agree with the
+    # oracle on the same scenes as the plain kernel.
+    rng = np.random.RandomState(seed)
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, rscale / np.sqrt(n), n).astype("float32")
+    expected = len(brute_force_collisions(coords, radii))
+    assert _count(coords, radii, rolled=True) == expected
+
+
+def test_rolled_sweep_edge_cases():
+    # Identical positions (whole-column windows, multi-row rolled reads),
+    # degenerate z, strict-touch, and wide-radius escalation — the same
+    # contracts the plain kernel pins.
+    n = 96
+    coords = np.full((n, 3), 0.25, "float32")
+    radii = np.full(n, 0.1, "float32")
+    assert _count(coords, radii, gxy=4, col_cap=128, slab_rows=4,
+                  rolled=True) == n * (n - 1) // 2
+
+    coords = np.array([[0.0, 0, 0], [1.0, 0, 0], [2.5, 0, 0]], "float32")
+    radii = np.array([0.5, 0.5, 0.6], "float32")
+    assert _count(coords, radii, gxy=1, col_cap=CHUNK, slab_rows=3,
+                  rolled=True) == 0
+
+    rng = np.random.RandomState(9)
+    n = 600
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0.2, 0.4, n).astype("float32")
+    expected = len(brute_force_collisions(coords, radii))
+    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii), 2, 512, 8)
+    assert bool(plan.ok)
+    rolled_need = int(plan.rows_rolled)
+    assert rolled_need <= int(plan.rows_needed)
+    rpw = next(r for r in RPW_LADDER if r >= rolled_need)
+    assert int(sweep_count(plan, rpw=rpw, interpret=True,
+                           rolled=True)) == expected

@@ -98,6 +98,49 @@ def test_no_pair_fill():
     assert (np.asarray(pairs) == NO_PAIR).all()
 
 
+def test_stack_overflow_detected():
+    # VERDICT r2 item 5: the reference silently overwrites its stack top
+    # at capacity (collision.cl:186-191); here the clipped push must be
+    # *detected*. A dense random scene with stack_depth=2 forces clips
+    # (ok=False); an ample depth completes clean (ok=True) with the exact
+    # pair set — and both totals stay correct contracts-wise only in the
+    # ok=True case.
+    rng = np.random.RandomState(7)
+    n = 512
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 2 / np.sqrt(n), n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    tree, lo, hi = _pipeline(coords, radii)
+
+    _, _, ok_small = find_pairs(
+        tree, lo, hi, capacity=8, stack_depth=2, with_ok=True)
+    assert not bool(ok_small)
+
+    pairs, total, ok = find_pairs(
+        tree, lo, hi, capacity=len(expected), with_ok=True)
+    assert bool(ok)
+    assert int(total) == len(expected)
+    assert pair_array_to_set(pairs, total) == expected
+
+    counts, ok_c = traverse_count(tree, lo, hi, stack_depth=2, with_ok=True)
+    assert not bool(ok_c)
+
+
+def test_duplicate_heavy_stack_bound():
+    # Duplicate-code corpus: thousands of identical positions build the
+    # deepest clz-tie-break trees; the default 64-deep stack must hold
+    # (no clipped pushes) and the count must stay exact.
+    n = 4096
+    coords = np.zeros((n, 3), dtype="float32")
+    coords[: n // 2] = 0.25  # two fat duplicate clusters
+    radii = np.full(n, 1e-3, dtype="float32")
+    tree, lo, hi = _pipeline(coords, radii)
+    counts, ok = traverse_count(tree, lo, hi, with_ok=True)
+    assert bool(ok)
+    half = n // 2
+    assert int(np.asarray(counts).sum()) == 2 * (half * (half - 1) // 2)
+
+
 def test_identical_spheres():
     # All spheres identical: every pair collides; duplicate Morton codes
     # exercise the tie-break tree end-to-end.
