@@ -94,28 +94,36 @@ def main():
     if mode == "decomp":
         mc = plan.mc
 
-        # plan-only chain
+        # plan-only chain (consume EVERY output or XLA dead-codes stages)
         @partial(jax.jit, static_argnames=("k",))
         def chain_plan(args, k):
             def body(i, c):
                 arrays = _plan_columns(c, radii, gxy, col_cap, slab_rows)
-                eps = (arrays[5].astype(jnp.float32)) * 1e-9
-                return c + eps
+                stream, starts, slab_r0, w0, wcap = arrays[:5]
+                probe = (stream[0, 0, 0] + stream[-1, 7, 127]
+                         + w0[0, 0].astype(jnp.float32)
+                         + wcap[-1, -1].astype(jnp.float32)
+                         + starts[1].astype(jnp.float32)
+                         + jnp.sum(w0[:, ::512]).astype(jnp.float32))
+                return c + probe * 1e-12
             return jax.lax.fori_loop(0, k, body, args)
 
-        print("plan: {:.3f} ms".format(chain_time(chain_plan, coords)),
-              flush=True)
+        print("plan(all-consumed): {:.3f} ms".format(
+            chain_time(chain_plan, coords)), flush=True)
 
-        # sort-only chain
+        # sort-only chain (consume every sorted operand)
         @partial(jax.jit, static_argnames=("k",))
         def chain_sort(args, k):
             def body(i, c):
                 cs = _column_sort(c, radii, gxy)
-                return c + (cs.key_s[0] & 1).astype(jnp.float32) * 1e-9
+                probe = (cs.x_s[0] + cs.y_s[1] + cs.z_s[2] + cs.r_s[3]
+                         + (cs.key_s[0] & 1).astype(jnp.float32)
+                         + (cs.ids_s[4] & 1).astype(jnp.float32))
+                return c + probe * 1e-12
             return jax.lax.fori_loop(0, k, body, args)
 
-        print("sort(col): {:.3f} ms".format(chain_time(chain_sort, coords)),
-              flush=True)
+        print("sort(col, all-consumed): {:.3f} ms".format(
+            chain_time(chain_sort, coords)), flush=True)
 
         # full step, plain vs rolled kernel
         for rolled, rpw in ((False, rpw_p), (True, rpw_r)):

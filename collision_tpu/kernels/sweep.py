@@ -42,7 +42,7 @@ NO_PAIR = np.uint32(0xFFFFFFFF)
 #: Default static rows-per-window; the host escalates through this ladder
 #: when plan.rows_needed exceeds it (one recompile per rung, like the
 #: reference's reallocate-and-retry resize, collision.py:84-119).
-RPW_LADDER = (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+RPW_LADDER = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
 
 
 def mask_groups(mc, rpw):

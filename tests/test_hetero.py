@@ -1,0 +1,100 @@
+"""Heterogeneous-radii engine (hetero.py + kernels/bigpass.py).
+
+The reference's traversal is radius-agnostic (collision.cl:174-226);
+these tests pin that the two-level bucketing engine reproduces the exact
+oracle pair set on mixed-radii scenes the plain column engine cannot
+hold — power-law radii, one giant sphere, big-big overlaps.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from collision_tpu.hetero import hetero_collide
+from collision_tpu.testing import brute_force_collisions
+
+
+def _run(coords, radii, nb, cap_extra=16, **kw):
+    from collision_tpu.kernels.sweep import RPW_LADDER
+
+    expected = brute_force_collisions(coords, radii)
+    cap = len(expected) + cap_extra
+    # Host-escalate the static rows-per-window knob, the same ladder the
+    # Collider walks (windows depend on the parked small-class r_max, so
+    # the right rung is only known after the split).
+    for rpw in RPW_LADDER:
+        pairs, total, ok = hetero_collide(
+            jnp.asarray(coords), jnp.asarray(radii), cap, nb=nb,
+            rpw=rpw, interpret=True, **kw)
+        if bool(ok):
+            break
+    assert bool(ok)
+    assert int(total) == len(expected)
+    got = {(min(a, b), max(a, b))
+           for a, b in np.asarray(pairs)[:int(total)]}
+    assert got == expected
+    assert (np.asarray(pairs)[int(total):] == 0xFFFFFFFF).all()
+
+    # count-only agrees (same escalated rung: ok is knob-honest)
+    _, total2, ok2 = hetero_collide(
+        jnp.asarray(coords), jnp.asarray(radii), 0, nb=nb,
+        rpw=rpw, interpret=True, **kw)
+    assert bool(ok2) and int(total2) == len(expected)
+
+
+def test_power_law_radii():
+    rng = np.random.RandomState(0)
+    n = 1500
+    coords = rng.random((n, 3)).astype("float32")
+    # Pareto-ish tail: a few spheres 30-100x the median radius.
+    radii = (0.004 * (1 + rng.pareto(1.2, n))).clip(0, 0.35)\
+        .astype("float32")
+    _run(coords, radii, nb=128)
+
+
+def test_one_giant_sphere():
+    rng = np.random.RandomState(1)
+    n = 800
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.02, n).astype("float32")
+    radii[17] = 0.4  # overlaps a large fraction of the scene
+    _run(coords, radii, nb=64)
+
+
+def test_big_big_overlaps():
+    # Several giants overlapping each other: exercises the B-B brute
+    # path and its i<j dedup.
+    rng = np.random.RandomState(2)
+    n = 600
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.01, n).astype("float32")
+    radii[100:110] = rng.uniform(0.2, 0.3, 10)
+    _run(coords, radii, nb=64)
+
+
+def test_uniform_scene_still_exact():
+    # No actual heterogeneity: parking the top-nb radii must not change
+    # the answer.
+    rng = np.random.RandomState(3)
+    n = 1000
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 1.5 / np.sqrt(n), n).astype("float32")
+    _run(coords, radii, nb=128)
+
+
+def test_overflow_contract():
+    rng = np.random.RandomState(4)
+    n = 500
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.02, n).astype("float32")
+    radii[:8] = 0.3
+    expected = brute_force_collisions(coords, radii)
+    assert len(expected) > 10
+    cap = len(expected) // 2
+    pairs, total, ok = hetero_collide(
+        jnp.asarray(coords), jnp.asarray(radii), cap, nb=64,
+        interpret=True)
+    assert bool(ok)
+    assert int(total) == len(expected)
+    got = {(min(a, b), max(a, b)) for a, b in np.asarray(pairs)[:cap]}
+    assert got <= expected and len(got) == cap
