@@ -58,7 +58,7 @@ def _make_big_kernel(nbc, rb, capacity, direct):
         lane_i = emitter.lane_i
         sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-        def r_body(r, _):
+        def r_body(r, acc):
             b8 = stream_ref[0, r]                      # [8, 128]
             for c in range(nbc):
                 aT = bigs_ref[c]                       # [64, 8]
@@ -66,19 +66,24 @@ def _make_big_kernel(nbc, rb, capacity, direct):
                 m &= (aT[:, 4:5] > b8[1:2, :]) & (aT[:, 1:2] < b8[4:5, :])
                 m &= (aT[:, 5:6] > b8[2:3, :]) & (aT[:, 2:3] < b8[5:6, :])
                 cnt = jnp.sum(m, dtype=jnp.int32)
-                cur[2] = cur[2] + cnt
-                curf[0] = curf[0] + cnt.astype(jnp.float32)
+                acc = (acc[0] + cnt, acc[1] + cnt.astype(jnp.float32))
                 a_ids = jax.lax.bitcast_convert_type(
                     aT[:, 6:7], jnp.int32)
                 b_ids = jax.lax.bitcast_convert_type(
                     b8[6:7, :], jnp.int32)
-                W0 = pack_mask_words(m)
-                trip = jnp.clip(emitter.remaining(), 0, cnt)
-                extract_hits(W0, trip, emitter, a_ids, b_ids,
-                             lane_i, sub_c)
-            return 0
 
-        jax.lax.fori_loop(0, rb, r_body, 0)
+                @pl.when(cnt > 0)
+                def _extract():
+                    W0 = pack_mask_words(m)
+                    trip = jnp.clip(emitter.remaining(), 0, cnt)
+                    extract_hits(W0, trip, emitter, a_ids, b_ids,
+                                 lane_i, sub_c)
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, rb, r_body, (jnp.int32(0), jnp.float32(0.0)))
+        cur[2] = cur[2] + acc[0]
+        curf[0] = curf[0] + acc[1]
 
         @pl.when(step == pl.num_programs(0) - 1)
         def _finish():

@@ -295,13 +295,13 @@ def _make_stream_fill_kernel(gxy, mc, slab_rows, rpw, capacity,
             rolled = pltpu.roll(two, -lane0, 2)
             return jnp.where(iota8 < LANE - lane0, rolled[0], rolled[1])
 
-        def y_body(y, _):
+        def y_body(y, acc):
             col = x * gxy + y
             a0 = starts_ref[col]
             a1 = starts_ref[col + 1]
             nchunks = jnp.minimum((a1 - a0 + CHUNK - 1) // CHUNK, mc)
 
-            def k_body(k, _):
+            def k_body(k, acc):
                 g0 = a0 + k * CHUNK
                 alen = jnp.minimum(a1 - g0, CHUNK)
                 a8 = read_win(0, g0)
@@ -333,21 +333,28 @@ def _make_stream_fill_kernel(gxy, mc, slab_rows, rpw, capacity,
                             b8[6:7, :], jnp.int32)   # [1, 128]
 
                         cnt = jnp.sum(m, dtype=jnp.int32)
-                        cur[2] = cur[2] + cnt
-                        curf[0] = curf[0] + cnt.astype(jnp.float32)
-                        W0 = pack_mask_words(m)
-                        # Only hits that will actually be stored pay the
-                        # extraction loop; the total above is exact
-                        # regardless (count-past-capacity contract).
-                        trip = jnp.clip(emitter.remaining(), 0, cnt)
-                        extract_hits(W0, trip, emitter, a_ids, b_ids,
-                                     lane_i, sub_c)
-                return 0
+                        acc = (acc[0] + cnt,
+                               acc[1] + cnt.astype(jnp.float32))
 
-            jax.lax.fori_loop(0, nchunks, k_body, 0)
-            return 0
+                        # Only windows with hits pay the pack + the
+                        # extraction loop; the register totals above are
+                        # exact regardless (count-past-capacity
+                        # contract). Empty windows (the vast majority on
+                        # sparse scenes) cost one predicate.
+                        @pl.when(cnt > 0)
+                        def _extract():
+                            W0 = pack_mask_words(m)
+                            trip = jnp.clip(emitter.remaining(), 0, cnt)
+                            extract_hits(W0, trip, emitter, a_ids, b_ids,
+                                         lane_i, sub_c)
+                return acc
 
-        jax.lax.fori_loop(0, gxy, y_body, 0)
+            return jax.lax.fori_loop(0, nchunks, k_body, acc)
+
+        acc = jax.lax.fori_loop(
+            0, gxy, y_body, (jnp.int32(0), jnp.float32(0.0)))
+        cur[2] = cur[2] + acc[0]
+        curf[0] = curf[0] + acc[1]
 
         @pl.when(x == pl.num_programs(0) - 1)
         def _finish():
