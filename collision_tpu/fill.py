@@ -51,7 +51,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .columns import COLUMN_OFFSETS, _column_sort, _quantize, _zbits
+from .columns import (
+    CHUNK, COLUMN_OFFSETS, LANE, _column_sort, _quantize, _zbits)
 from .ops.offset import sorted_bucket_starts
 from .ops.scan import inclusive_scan
 
@@ -251,23 +252,15 @@ def _run_fill(coords, radii, capacity, gxy, cand_capacity, chunk):
 #  costs ~9 ns/element regardless of table size or index order (measured,
 #  benchmarks/exp_gather.py) — 5.9 s/step at 1M spheres. The mask fill
 #  keeps the candidate testing inside the Pallas column sweep
-#  (kernels/sweep.py sweep_masks — no gathers at all) and reduces
-#  emission to popcount pyramids, cumulative sums, *contiguous-window*
-#  row gathers, and dense select-compares — every per-pair value is
-#  resolved against a 32-unit window fetched once per 32 output slots, so
-#  there are NO per-pair scalar gathers anywhere.
+#  (kernels/sweep.py sweep_masks — no gathers at all) and makes emission
+#  *sparse*: mask rows with no set bits (the vast majority on realistic
+#  scenes — ~6k of 45M words are nonzero at 1M uniform) are compacted
+#  away before any per-word work, at two granularities (128-word lane
+#  rows, then single words). Every dense op stays in the mask buffer's
+#  native [rows, 128] layout — the round-2 pipeline's flat reshape +
+#  [N, 8]-unit relayout were ~9.3 ms of pure data movement at 1M
+#  (profiled: reshape 5.0 ms + layout copy 4.3 ms, exp_r3_prof.py).
 #  ---------------------------------------------------------------------
-
-#: Words per emission unit (a unit = U consecutive lanes of one packed
-#: mask row; U divides 128 so a unit never straddles tiles or halves).
-_U = 8
-
-#: Output slots resolved per window fetch. Must not exceed the table row
-#: size _R: each kept unit covers >= 1 pair, so the first kept unit of a
-#: block lies at most _BS-1 units before the block's last — a 2-row
-#: (2*_R-unit) aligned window then covers every slot iff _BS <= _R.
-_BS = 16
-
 
 def _select_bit(word, rank):
     """Index of the ``rank``-th set bit of ``word`` (binary partition by
@@ -283,156 +276,121 @@ def _select_bit(word, rank):
     return pos
 
 
-#: Kept units packed per table row (so every big table has a 128-lane
-#: minor dimension — a [N, small] array tiles to T(8,128) and pads its
-#: minor dim to 128 on TPU, up to 64x the logical size).
-_R = 16
-
-
-def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, chunk_blocks,
-                    kcap=None):
+def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, kcap=None):
     """Emit (ida, idb) SoA pair buffers from packed sweep masks.
 
-    ``B``: uint32[ncols*NG, KG*5*rpw, 2, 128] from sweep_masks (chunk
-    groups per kernels.sweep.mask_groups). Word flat index within a
-    column decodes to (group, slot, half, lane); bit b = chunk sublane
-    h*32+b.
+    ``B``: uint32[ncols*NG, KG*5*rpw*2, 128] from sweep_masks. A word's
+    flat (row, lane) position decodes to (column, chunk group, tile
+    slot, half, stream lane); bit b = chunk sublane h*32+b.
 
-    Emission is blocked: each group of 16 output slots resolves every
-    per-pair value (word, rank, j-id, i-base) against a 2-row window of
-    kept-unit tables fetched with contiguous row-gathers — the only
-    per-pair scalar gather in the whole pipeline is the final
-    ``ids_flat[i]`` lookup. Kept-unit tables are capped at ``capacity``
-    entries: a unit beyond the first ``capacity`` pairs can never be
-    selected.
+    Emission is *sparse*, at two granularities that both stay in the
+    mask buffer's native [rows, 128] layout (the round-2 pipeline's flat
+    reshape + unit relayout were ~9.3 ms of pure data movement at 1M):
+
+      1. rows with no set bits (the vast majority on realistic scenes —
+         ~6k of 45M words are nonzero at 1M uniform) are compacted away
+         by an inclusive scan + hierarchical select, capped at
+         ``capacity + margin`` rows (each kept row holds >= 1 pair, so
+         the prefix is exact — ``trunc_safe`` reports when the cap was
+         provably sufficient);
+      2. nonzero words within the kept rows are compacted the same way.
+
+    Each output slot then resolves its word by one hierarchical
+    searchsorted into the kept words' cumulative popcounts, its bit by
+    rank-select, and decodes (column, chunk, half, stream row) back to
+    the two sorted indices with pure arithmetic — per-pair work is a
+    handful of scalar gathers (~9 ns each on v5e), paid only for the
+    ``capacity`` slots actually materialized.
     """
-    gxy, mc = plan.gxy, plan.mc
-
-    wflat = B.reshape(-1)
-    Nw = wflat.shape[0]
-    Nu = Nw // _U
-
-    wp = jax.lax.population_count(wflat).astype(jnp.int32)
-    up = jnp.sum(wp.reshape(Nu, _U), axis=1)
-
-    # --- kept-unit compaction, capped at capacity entries ---
-    # A smaller caller-supplied kcap trades table-build work for an ok
-    # retry: truncation is exact either when every kept unit fits, or
-    # when the cap covers capacity pairs (each kept unit holds >= 1).
-    Kcap = min(Nu, capacity + 2 * _BS if kcap is None else kcap)
-    Kcap = -(-Kcap // (_BS * _R)) * (_BS * _R)
-    kic = inclusive_scan((up > 0).astype(jnp.int32))
-    trunc_safe = (kic[-1] <= Kcap) | (Kcap >= capacity + 2 * _BS)
-    nk = jnp.minimum(kic[-1], Kcap)
-    ordv = jnp.arange(Kcap, dtype=jnp.int32)
-    K = sorted_bucket_starts(
-        kic, ordv + 1, strides=_auto_strides(Nu))
-    K = jnp.minimum(K, Nu - 1)
-    live_k = ordv < nk
-    kcount = jnp.where(live_k, jnp.take(up, K), 0)
-    KCC = inclusive_scan(kcount)                       # [Kcap] inclusive
-
-    # --- per-kept-unit geometry (pure arithmetic on K) ---
     from .kernels.sweep import mask_groups
 
+    gxy, mc = plan.gxy, plan.mc
     kg, ng = mask_groups(mc, rpw)
     kgt = kg * 5 * rpw
-    per_col = ng * kgt * 256 // _U
-    c_u = K // per_col
-    rem = K % per_col
-    per_g = kgt * 256 // _U
-    g_u = rem // per_g
-    rem2 = rem % per_g
-    s_u = rem2 // (256 // _U)
-    rem3 = rem2 % (256 // _U)
-    h_u = rem3 // (128 // _U)
-    lane0 = (rem3 % (128 // _U)) * _U
-    k_u = jnp.minimum(g_u * kg + s_u // (5 * rpw), mc - 1)
-    off_u = (s_u // rpw) % 5
-    r_u = s_u % rpw
-    x_u = c_u // gxy
-    y_u = c_u % gxy
 
-    w0_tab = plan.w0.reshape(gxy, gxy * mc * 5)
-    w0_u = w0_tab[x_u, (y_u * mc + k_u) * 5 + off_u]
-    jrow = w0_u // 128 + r_u
-    jbase = jrow * 128 + lane0                     # 8-aligned
-    ibase = jnp.take(plan.starts, c_u) + k_u * 64 + h_u * 32
+    Bv = B.reshape(-1, LANE)               # layout-preserving: minor=128
+    Rw = Bv.shape[0]
+    imax = jnp.int32(2 ** 31 - 1)
 
-    nid8 = ids_flat.shape[0] // _U
+    pc = jax.lax.population_count(Bv).astype(jnp.int32)    # [Rw, 128]
+    row_pairs = jnp.sum(pc, axis=1)                        # [Rw]
 
-    # Packed kept tables, _R units per 128-lane row.
-    contents_p = jnp.where(
-        live_k[:, None],
-        jnp.take(wflat.reshape(Nu, _U), K, axis=0), 0,
-    ).reshape(-1, _R * _U)                         # [Kcap/_R, 128]
-    jids_p = jnp.take(
-        ids_flat.reshape(nid8, _U),
-        jnp.clip(jbase // _U, 0, nid8 - 1), axis=0,
-    ).reshape(-1, _R * _U)                         # [Kcap/_R, 128]
-    ibase_p = ibase.reshape(-1, _R)                # [Kcap/_R, 16]
-    KCCp = jnp.concatenate([jnp.zeros((1,), jnp.int32), KCC])
-    nrows_k = contents_p.shape[0]
+    # --- level 1: compact hit rows (128-word granularity) ---
+    cap_k = capacity + 8 if kcap is None else kcap
+    RK = max(min(Rw, cap_k), 1)
+    ic_r = inclusive_scan((row_pairs > 0).astype(jnp.int32))
+    nkr = ic_r[-1]
+    ordr = jnp.arange(RK, dtype=jnp.int32)
+    rsel = jnp.minimum(
+        sorted_bucket_starts(ic_r, ordr + 1, strides=_auto_strides(Rw)),
+        Rw - 1)
+    live_r = ordr < nkr
+    rows = jnp.where(
+        live_r[:, None], jnp.take(Bv, rsel, axis=0), 0)    # [RK, 128]
+    # Truncation is exact iff every hit row was kept, or the kept prefix
+    # already covers ``capacity`` pairs.
+    csum_rp = inclusive_scan(row_pairs)
+    safe_r = (nkr <= RK) | (jnp.take(csum_rp, rsel[RK - 1]) >= capacity)
 
-    nb_total = -(-capacity // _BS)
-    nb_chunk = min(chunk_blocks, nb_total)
-    n_chunks = -(-nb_total // nb_chunk)
+    # --- level 2: compact nonzero words within kept rows ---
+    wpc = jax.lax.population_count(rows).astype(jnp.int32)  # [RK, 128]
+    wflat = rows.reshape(-1)
+    wpcf = wpc.reshape(-1)
+    ic_pf = inclusive_scan(wpcf)       # global pair cum (kept rows only,
+    #                                    == global: dropped rows are empty)
+    WK = max(min(RK * LANE, cap_k), 1)
+    ic_w = inclusive_scan((wpcf > 0).astype(jnp.int32))
+    nkw = ic_w[-1]
+    ordw = jnp.arange(WK, dtype=jnp.int32)
+    wsel = jnp.minimum(
+        sorted_bucket_starts(ic_w, ordw + 1,
+                             strides=_auto_strides(RK * LANE)),
+        RK * LANE - 1)
+    live_w = ordw < nkw
+    wval = jnp.where(live_w, jnp.take(wflat, wsel), jnp.uint32(0))
+    wpc_s = jnp.where(live_w, jnp.take(wpcf, wsel), 0)
+    wcum_s = jnp.where(live_w, jnp.take(ic_pf, wsel), imax)
+    grow_w = jnp.take(rsel, wsel // LANE)      # global mask row per word
+    lane_w = wsel % LANE
+    safe_w = (nkw <= WK) | (jnp.take(ic_pf, wsel[WK - 1]) >= capacity)
+    trunc_safe = safe_r & safe_w
 
-    W = 2 * _R                                      # window units
-    iota_w = jnp.arange(W * _U, dtype=jnp.int32)
-    iota_u = jnp.arange(W, dtype=jnp.int32)
+    # --- per-slot resolution ---
+    q = jnp.arange(capacity, dtype=jnp.int32)
+    sel = jnp.minimum(
+        sorted_bucket_starts(wcum_s, q + 1, strides=_auto_strides(WK)),
+        WK - 1)
+    word = jnp.take(wval, sel)
+    rank = jnp.maximum(
+        q - (jnp.take(wcum_s, sel) - jnp.take(wpc_s, sel)), 0)
+    bit = _select_bit(word, rank)
+    R = jnp.take(grow_w, sel)
+    lane = jnp.take(lane_w, sel)
 
-    def emit_chunk(cidx, _):
-        b0 = cidx * nb_chunk
-        q0 = (b0 + jnp.arange(nb_chunk, dtype=jnp.int32)) * _BS
-        fo = sorted_bucket_starts(
-            KCC, q0 + 1, strides=_auto_strides(Kcap))
-        fa = jnp.clip(fo // _R, 0, nrows_k - 2)
-        base_cnt = jnp.take(KCCp, fa * _R)
-        two = fa[:, None] + jnp.arange(2)[None, :]
+    # --- decode (mask row, lane, bit) -> sorted stream indices ---
+    h = R % 2
+    sl = (R // 2) % kgt
+    nb = R // (2 * kgt)
+    colg = nb // ng
+    g = nb % ng
+    kk = sl // (5 * rpw)
+    off = (sl // rpw) % 5
+    r = sl % rpw
+    k = jnp.minimum(g * kg + kk, mc - 1)
+    x = colg // gxy
+    y = colg % gxy
 
-        Wc = jnp.take(contents_p, two, axis=0).reshape(nb_chunk, W * _U)
-        Wj = jnp.take(jids_p, two, axis=0).reshape(nb_chunk, W * _U)
-        Wb = jnp.take(ibase_p, two, axis=0).reshape(nb_chunk, W)
-
-        wcum = base_cnt[:, None] + jnp.cumsum(
-            jax.lax.population_count(Wc).astype(jnp.int32), axis=1)
-
-        q = q0[:, None] + jnp.arange(_BS, dtype=jnp.int32)[None, :]
-        le = wcum[:, None, :] <= q[:, :, None]      # [nb, BS, 256]
-        wo = jnp.sum(le, axis=-1, dtype=jnp.int32)
-        wo = jnp.minimum(wo, W * _U - 1)
-        prev = jnp.maximum(
-            jnp.max(jnp.where(le, wcum[:, None, :], 0), axis=-1),
-            base_cnt[:, None])
-        rank = q - prev
-
-        onehot_w = iota_w[None, None, :] == wo[:, :, None]
-        content = jnp.sum(
-            jnp.where(onehot_w, Wc[:, None, :], 0),
-            axis=-1, dtype=jnp.uint32)
-        jid = jnp.sum(
-            jnp.where(onehot_w, Wj[:, None, :], 0),
-            axis=-1, dtype=jnp.uint32)
-        uo = wo // _U
-        onehot_u = iota_u[None, None, :] == uo[:, :, None]
-        ib = jnp.sum(
-            jnp.where(onehot_u, Wb[:, None, :], 0),
-            axis=-1, dtype=jnp.int32)
-
-        bit = _select_bit(content, rank)
-        # The one per-pair scalar gather in the pipeline (~9 ns/elem on
-        # v5e): sorted-index -> original id for the chunk side.
-        iid = jnp.take(ids_flat, jnp.clip(ib + bit, 0, _U * nid8 - 1))
-
-        live = q < jnp.minimum(total, capacity)
-        ida = jnp.where(live, iid, jnp.uint32(NO_PAIR)).reshape(-1)
-        idb = jnp.where(live, jid, jnp.uint32(NO_PAIR)).reshape(-1)
-        return cidx + 1, (ida, idb)
-
-    _, (ida, idb) = jax.lax.scan(
-        emit_chunk, jnp.int32(0), None, length=n_chunks)
-    return (ida.reshape(-1)[:capacity], idb.reshape(-1)[:capacity],
+    nsort = ids_flat.shape[0]
+    i = jnp.take(plan.starts, jnp.minimum(colg, gxy * gxy)) \
+        + k * CHUNK + h * 32 + bit
+    w0_flat = plan.w0.reshape(-1)
+    w0u = jnp.take(w0_flat, x * (gxy * mc * 5) + (y * mc + k) * 5 + off)
+    j = (w0u // LANE + r) * LANE + lane
+    ida = jnp.take(ids_flat, jnp.clip(i, 0, nsort - 1))
+    idb = jnp.take(ids_flat, jnp.clip(j, 0, nsort - 1))
+    live = q < jnp.minimum(total, capacity)
+    return (jnp.where(live, ida, jnp.uint32(NO_PAIR)),
+            jnp.where(live, idb, jnp.uint32(NO_PAIR)),
             trunc_safe)
 
 
@@ -444,8 +402,10 @@ def mask_fill(coords, radii, capacity, gxy, col_capacity, slab_rows,
     buffers (a [capacity, 2] AoS array tiles to 64x its size on TPU;
     callers stack only when small). ``ok`` is False when the plan's
     static knobs were insufficient (host retries with exact stats).
-    ``kcap`` optionally bounds the kept-unit tables below the always-safe
-    ``capacity`` default — a perf knob for huge fills, covered by ``ok``.
+    ``kcap`` optionally bounds the kept-row/word tables below the
+    always-safe ``capacity`` default — a perf knob for huge fills,
+    covered by ``ok``. ``chunk_blocks`` is accepted for API
+    compatibility; the sparse emission no longer chunks.
     """
     return _mask_fill_impl(
         coords, radii, int(capacity), int(gxy), int(col_capacity),
@@ -477,7 +437,7 @@ def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
     ids_flat = jax.lax.bitcast_convert_type(
         plan.stream[:, 6, :], jnp.uint32).reshape(-1)
     ida, idb, trunc_safe = _mask_fill_emit(
-        B, plan, ids_flat, capacity, rpw, total, chunk_blocks, kcap)
+        B, plan, ids_flat, capacity, rpw, total, kcap)
     return ida, idb, total.astype(jnp.uint32), ok & trunc_safe
 
 

@@ -453,12 +453,15 @@ def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream):
                     for hw in (16, 8, 4, 2, 1):
                         half0 = half0[:hw] + half0[hw:2 * hw]
                         half1 = half1[:hw] + half1[hw:2 * hw]
-                    packed_all.append(
-                        jnp.concatenate([half0, half1], axis=0))
+                    packed_all.append(half0)
+                    packed_all.append(half1)
             # One dynamic store per chunk instead of 5*rpw (dynamic-index
-            # VMEM stores dominated the per-tile version).
-            block = jnp.stack(packed_all)          # [5*rpw, 2, 128]
-            out_ref[0, pl.ds((k - k_lo) * 5 * rpw, 5 * rpw)] = block
+            # VMEM stores dominated the per-tile version). Layout is
+            # [rows, 128] with rows = tile-slot-major, half-minor: a
+            # trailing [2, 128] axis pair would tile to (8, 128) on TPU
+            # and pad the buffer 4x.
+            block = jnp.concatenate(packed_all, axis=0)  # [5*rpw*2, 128]
+            out_ref[0, pl.ds((k - k_lo) * 5 * rpw * 2, 5 * rpw * 2)] = block
             return 0
 
         jax.lax.fori_loop(k_lo, k_lo + kg, k_body, 0)
@@ -469,13 +472,13 @@ def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream):
 def sweep_masks(plan: ColumnPlan, rpw=2, interpret=False):
     """Packed per-tile overlap bitmasks for the whole scene.
 
-    Returns uint32[ncols*NG, KG*5*rpw, 2, 128] with (KG, NG) from
+    Returns uint32[ncols*NG, KG*5*rpw*2, 128] with (KG, NG) from
     :func:`mask_groups`: for column ``c = x*gxy+y``, group ``gq``
-    (chunks ``gq*KG..``), tile slot ``(kk*5 + off)*rpw + r``, the two
-    words per lane hold the chunk-sublane mask of stream row
-    ``w0//128 + r`` vs chunk ``gq*KG + kk`` of the column under stencil
-    offset ``off`` (word ``h`` bit ``b`` = sublane ``h*32+b``). Exact
-    iff ``plan.ok`` and ``plan.rows_needed <= rpw``.
+    (chunks ``gq*KG..``), row ``((kk*5 + off)*rpw + r)*2 + h``, the
+    128 words hold the chunk-sublane mask of stream row ``w0//128 + r``
+    vs chunk ``gq*KG + kk`` of the column under stencil offset ``off``
+    (half ``h`` bit ``b`` = sublane ``h*32+b``). Exact iff ``plan.ok``
+    and ``plan.rows_needed <= rpw``.
     """
     return _sweep_masks(
         plan.stream, plan.starts, plan.slab_r0, plan.w0, plan.wcap,
@@ -514,12 +517,12 @@ def _sweep_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
         grid=(gxy, gxy, ng),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, kgt, 2, LANE),
-            lambda x, y, g: ((x * gxy + y) * ng + g, 0, 0, 0),
+            (1, kgt * 2, LANE),
+            lambda x, y, g: ((x * gxy + y) * ng + g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (gxy * gxy * ng, kgt, 2, LANE), jnp.uint32),
+            (gxy * gxy * ng, kgt * 2, LANE), jnp.uint32),
         scratch_shapes=scratch,
         interpret=interpret,
     )(starts, slab_r0,
