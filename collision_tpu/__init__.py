@@ -15,6 +15,7 @@ submodule imports), the public surface is re-exported here.
 
 from .collider import Collider, CollisionResult, collide, interpret_kernels
 from .columns import ColumnPlan, default_column_config, plan_columns
+from .slabs import SlabPlan, default_slab_config, plan_slabs
 from .fill import candidate_count, mask_fill, run_fill
 from .grid import GridCounts, build_grid, grid_count
 from .sim import simulate
@@ -59,6 +60,9 @@ __all__ = [
     "ColumnPlan",
     "default_column_config",
     "plan_columns",
+    "SlabPlan",
+    "default_slab_config",
+    "plan_slabs",
     "candidate_count",
     "mask_fill",
     "run_fill",

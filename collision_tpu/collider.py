@@ -250,6 +250,58 @@ def _column_collide(coords, radii, capacity, gxy, col_capacity, slab_rows,
     return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
 
 
+def _slab_collide(coords, radii, capacity, gx, col_capacity, slab_rows,
+                  rpw, cand_capacity, lo_scene, hi_scene,
+                  kernel_mode="native"):
+    """Slab-engine frame (the round-3 sparse count fast path).
+
+    On TPU/float32: count-only runs the 2-offset slab sweep
+    (kernels/slab_sweep.py) and fills run the streaming in-kernel
+    emission (kernels/slab_emit.py) over the x-sorted slab plan.
+    Elsewhere (CPU tests, float64) the portable run-expansion pipeline
+    applies, as for the column engine — unless ``kernel_mode ==
+    "interpret"``. ``ok`` is False when a static knob (slab capacity,
+    rolled rows-per-window, int32 headroom) was insufficient; the
+    plan's stats let the host retry (Collider falls back to the column
+    engine for scenes whose windows the slab geometry cannot hold).
+    """
+    from .fill import run_fill
+    from .kernels.slab_emit import slab_fill_pairs
+    from .kernels.slab_sweep import slab_count_dual
+    from .slabs import plan_slabs
+
+    f32 = coords.dtype == jnp.float32
+    on_tpu = jax.default_backend() == "tpu" and f32
+    use_kernels = on_tpu or (kernel_mode == "interpret" and f32)
+    interp = not on_tpu
+    if use_kernels:
+        plan = plan_slabs(
+            jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
+            gx, col_capacity, slab_rows,
+        )
+        if capacity == 0:
+            # Dual dispatch: 1-row sweep + vectorized residual — no
+            # rows-per-window knob on the count path at all.
+            count, d_ok = slab_count_dual(plan, interpret=interp)
+            return CollisionResult(
+                count.astype(jnp.uint32), None, lo_scene, hi_scene,
+                ok=plan.ok & d_ok)
+        ok = plan.ok & (plan.rows_rolled <= rpw)
+        ida, idb, total, no_ovf = slab_fill_pairs(
+            plan, capacity, rpw=rpw, interpret=interp)
+        pairs = jnp.stack([ida, idb], axis=1)
+        return CollisionResult(
+            total, pairs, lo_scene, hi_scene, ok=ok & no_ovf)
+    # Portable path (CPU tests, float64): the run-expansion pipeline is
+    # column-keyed; resolve its own grid from n.
+    from .columns import default_column_config
+
+    pairs, total, ok = run_fill(
+        coords, radii, capacity, default_column_config(coords.shape[0])[0],
+        cand_capacity)
+    return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
+
+
 def default_cand_capacity(n, capacity):
     """Static bound on the fill pipeline's conservative candidates.
 
@@ -263,7 +315,7 @@ def default_cand_capacity(n, capacity):
 def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
             grid_dim=None, cell_capacity=None, gxy=None, col_capacity=None,
             slab_rows=None, rpw=DEFAULT_RPW, cand_capacity=None,
-            kernel_mode=None):
+            gx=None, kernel_mode=None):
     """One fully-jitted broad-phase step.
 
     Args:
@@ -271,17 +323,21 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
       radii:  [n] float sphere radii.
       capacity: static pair-buffer capacity; 0 = count-only.
       stack_depth: static traversal-stack depth (reference uses 64).
-      method: "column" (z-sorted column sweep + mask fill — the TPU
-        fast path, columns.py/fill.py), "bvh" (LBVH build + lockstep
-        traversal, the reference architecture re-designed for XLA),
-        "grid" (round-1 dense uniform-grid stencil + Pallas kernels,
-        kept for parity), or "auto" (column for large workloads, BVH
-        otherwise).
+      method: "slab" (x-sorted 2-offset slab sweep — the round-3 sparse
+        fast path, slabs.py), "column" (z-sorted column sweep + mask
+        fill — the round-2 TPU fast path, columns.py/fill.py), "bvh"
+        (LBVH build + lockstep traversal, the reference architecture
+        re-designed for XLA), "grid" (round-1 dense uniform-grid
+        stencil + Pallas kernels, kept for parity), or "auto" (slab
+        count / column fill for large workloads, BVH otherwise).
       grid_dim, cell_capacity: static legacy-grid knobs (see grid.py).
       gxy, col_capacity, slab_rows, rpw: static column-sweep knobs
-        (columns.py); None resolves defaults from n at trace time.
+        (columns.py); None resolves defaults from n at trace time. The
+        slab engine shares ``col_capacity``/``slab_rows``/``rpw``.
       cand_capacity: static candidate bound of the fill pipeline
         (fill.py); None resolves default_cand_capacity.
+      gx: static slab count of the slab engine (slabs.py); None
+        resolves default_slab_config.
       kernel_mode: "native" (Pallas kernels on TPU, portable XLA
         elsewhere) or "interpret" (run the Pallas paths under the
         interpreter on CPU — test-only); None resolves from the
@@ -299,17 +355,17 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
     return _collide(
         coords, radii, capacity, stack_depth, method, grid_dim,
         cell_capacity, gxy, col_capacity, slab_rows, rpw, cand_capacity,
-        kernel_mode)
+        gx, kernel_mode)
 
 
 @partial(jax.jit, static_argnames=(
     "capacity", "stack_depth", "method", "grid_dim", "cell_capacity",
-    "gxy", "col_capacity", "slab_rows", "rpw", "cand_capacity",
+    "gxy", "col_capacity", "slab_rows", "rpw", "cand_capacity", "gx",
     "kernel_mode"))
 def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
              method="auto", grid_dim=None, cell_capacity=None, gxy=None,
              col_capacity=None, slab_rows=None, rpw=DEFAULT_RPW,
-             cand_capacity=None, kernel_mode="native"):
+             cand_capacity=None, gx=None, kernel_mode="native"):
     coords = jnp.asarray(coords)
     radii = jnp.asarray(radii)
     n = coords.shape[0]
@@ -344,6 +400,16 @@ def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
         )
         return CollisionResult(zero, pairs, lo_scene, hi_scene)
 
+    if method == "slab":
+        from .slabs import default_slab_config
+
+        # The slab engine sizes its per-slab capacities from its own gx
+        # (caller-pinned or auto) rather than the shared column knobs.
+        s_gx, s_cap, s_rows = default_slab_config(n, gx=gx)
+        return _slab_collide(
+            coords, radii, capacity, s_gx, s_cap, s_rows, rpw,
+            cand_capacity, lo_scene, hi_scene, kernel_mode=kernel_mode,
+        )
     if method == "column":
         return _column_collide(
             coords, radii, capacity, gxy, col_capacity, slab_rows, rpw,

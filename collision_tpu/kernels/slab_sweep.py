@@ -1,0 +1,254 @@
+"""Pallas slab-sweep count kernel: 2-offset banded window tests.
+
+The 1-D counterpart of kernels/sweep.py's rolled count kernel, consuming
+a :class:`~collision_tpu.slabs.SlabPlan`. Per 64-sphere chunk only two
+window tiles are tested (self with the ``j > i`` dedup mask, and slab
+x+1) instead of the 2-D engine's five — and the slab config widens each
+z-window toward a full 128 lanes, so the same ~100-vreg-op row tile
+covers ~2.5x more true candidates (slabs.py cost model). All reads are
+lane-rolled: coverage is ``ceil(window/128)`` rows regardless of
+alignment (plan.rows_rolled bounds the static ``rpw`` knob; the host
+escalates on overflow — pairs are never silently dropped).
+
+Contract parity: exact unordered unique pairs, strict-overlap semantics
+(collision.cl:164-166); int32 totals carry a parallel f32 sum so a wrap
+near 2^31 pairs is detected, strictly better than the reference's
+uint32 atomic counter (collision.cl:203).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..columns import CHUNK, LANE
+from ..slabs import SLAB_OFFSETS, SlabPlan
+
+
+def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1):
+    def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
+               total_ref, totf_ref, *scratch):
+        if direct_stream:
+            cursor, cursor_f = scratch
+            bufs = sems = None
+        else:
+            bufs, sems, cursor, cursor_f = scratch
+        x = pl.program_id(0)
+
+        if not direct_stream:
+            def start_slab(s, slot):
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[s], slab_rows)],
+                    bufs.at[slot], sems.at[slot]).start()
+
+            @pl.when(x == 0)
+            def _init_dma():
+                start_slab(0, 0)
+                start_slab(1, 1)
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[0], slab_rows)],
+                    bufs.at[0], sems.at[0]).wait()
+
+            # Slab x+1 first becomes visible here; slab x was already
+            # waited on at step x-1 (or in the init block above).
+            pltpu.make_async_copy(
+                stream_ref.at[pl.ds(r0_ref[x + 1], slab_rows)],
+                bufs.at[(x + 1) % 3], sems.at[(x + 1) % 3]).wait()
+
+            @pl.when(x + 2 <= gx)
+            def _prefetch():
+                start_slab(x + 2, (x + 2) % 3)
+
+        @pl.when(x == 0)
+        def _init():
+            cursor[0] = 0
+            cursor_f[0] = 0.0
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        sub_full = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+        iota6 = jax.lax.broadcasted_iota(jnp.int32, (6, LANE), 1)
+
+        def read_win(dx, g):
+            """[6, 128]: test components of spheres g..g+127 (lane-rolled
+            so sphere g is at lane 0), from the slab holding x+dx."""
+            lrow = g // LANE
+            lane0 = g % LANE
+            if direct_stream:
+                lr = jnp.clip(lrow, 0, stream_ref.shape[0] - 2)
+                two = stream_ref[pl.ds(lr, 2), pl.ds(0, 6), :]
+            else:
+                slot = jax.lax.rem(x + dx, 3)
+                lr = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 2)
+                two = bufs[slot, pl.ds(lr, 2), pl.ds(0, 6), :]
+            rolled = pltpu.roll(two, -lane0, 2)
+            return jnp.where(iota6 < LANE - lane0, rolled[0], rolled[1])
+
+        a0 = starts_ref[x]
+        a1 = starts_ref[x + 1]
+        nchunks = jnp.minimum((a1 - a0 + CHUNK - 1) // CHUNK, mc)
+
+        def chunk_tests(k, acc):
+            g0 = a0 + k * CHUNK
+            alen = jnp.minimum(a1 - g0, CHUNK)
+            a6 = read_win(0, g0)
+            aT = jnp.swapaxes(a6, 0, 1)
+            # Rows past the chunk -> +inf lows: the strict test can never
+            # pass (subsumes an explicit a-validity mask; dead unroll
+            # slots with alen <= 0 vanish the same way).
+            aT = jnp.where(sub_full < alen, aT, jnp.inf)
+            axlo = aT[:CHUNK, 0:1]
+            aylo = aT[:CHUNK, 1:2]
+            azlo = aT[:CHUNK, 2:3]
+            axhi = aT[:CHUNK, 3:4]
+            ayhi = aT[:CHUNK, 4:5]
+            azhi = aT[:CHUNK, 5:6]
+            # Dead slots clamp the SMEM table read into range (their
+            # window values are real but the all-inf a side kills m).
+            tbase = jnp.minimum(k, mc - 1) * 2
+
+            for off, dx in enumerate(SLAB_OFFSETS):
+                w0 = w0_ref[0, 0, tbase + off]
+                wcap = wcap_ref[0, 0, tbase + off]
+                for r in range(rpw):
+                    b6 = read_win(dx, w0 + r * LANE)
+                    jrel = r * LANE + lane_i
+                    m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
+                    m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
+                    m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
+                    m &= jrel < wcap
+                    if dx == 0:
+                        # Intra-slab dedup: j > i. w0 >= g0 by the
+                        # plan's self-window clip.
+                        m &= w0 + jrel > g0 + sub_c
+                    c = jnp.where(m, 1, 0)
+                    fold = c[0:8]
+                    for f in range(8, CHUNK, 8):
+                        fold = fold + c[f:f + 8]
+                    acc = acc + fold
+            return acc
+
+        if unroll == 1:
+            acc = jax.lax.fori_loop(
+                0, nchunks, chunk_tests, jnp.zeros((8, LANE), jnp.int32))
+        else:
+            # Static unrolling lets Mosaic software-pipeline the
+            # dynamic-slice reads across chunks: the rolled sweep
+            # measured per-chunk *overhead* bound (~380 cycles/chunk at
+            # any rpw — row tests are nearly free next to the loop
+            # carry), so fewer, fatter iterations are the lever.
+            def g_body(g, acc):
+                for t in range(unroll):
+                    acc = chunk_tests(g * unroll + t, acc)
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, (nchunks + unroll - 1) // unroll, g_body,
+                jnp.zeros((8, LANE), jnp.int32))
+        cursor[0] = cursor[0] + jnp.sum(acc, dtype=jnp.int32)
+        cursor_f[0] = cursor_f[0] + jnp.sum(
+            acc.astype(jnp.float32), dtype=jnp.float32)
+
+        @pl.when(x == pl.num_programs(0) - 1)
+        def _finish():
+            total_ref[0] = cursor[0]
+            totf_ref[0] = cursor_f[0]
+
+    return kernel
+
+
+#: Default chunk-loop unroll. The rolled sweep is per-chunk *overhead*
+#: bound (~380 cycles/chunk at any rpw on v5e — the row tests are nearly
+#: free next to the loop carry); unrolling lets Mosaic pipeline the
+#: dynamic-slice reads across chunks. Measured at 1M/gx=128: unroll 1/2/
+#: 4/8 -> 6.3/5.4/4.2/6.0 ms sweep; 4 is the sweet spot.
+UNROLL = 4
+
+
+def slab_count(plan: SlabPlan, rpw=1, interpret=False, unroll=UNROLL):
+    """Exact pair count from a slab plan.
+
+    Exact iff ``plan.ok`` and ``plan.rows_rolled <= rpw`` (the caller
+    retries with escalated knobs otherwise). Returns int32 scalar.
+    """
+    return slab_count_guarded(plan, rpw, interpret, unroll)[0]
+
+
+def slab_count_guarded(plan: SlabPlan, rpw=1, interpret=False,
+                       unroll=UNROLL):
+    """(count, no_overflow): the count plus an int32-wrap detector."""
+    count, count_f = _slab_count(
+        plan.stream, plan.starts, plan.slab_r0, plan.w0, plan.wcap,
+        plan.gx, plan.mc, plan.slab_rows, rpw, interpret, unroll,
+    )
+    return count, count_f < float(2 ** 31 - 2 ** 26)
+
+
+def slab_count_dual(plan: SlabPlan, interpret=False, j_cap=None):
+    """(count, ok) via dual dispatch: 1-row Pallas sweep + XLA residual.
+
+    The static rows-per-window knob is brittle: one hot chunk whose
+    window spans a second 128-lane row forces rpw=2 (2x the sweep cost)
+    for the whole scene — measured at 1M, every gx from 48 to 192 has
+    at least one such window. Here the Pallas sweep always runs at one
+    rolled row with ``wcap`` clamped to 128 lanes, and the rare clipped
+    remainders are counted by :func:`~collision_tpu.slabs.residual_count`
+    — a dense vectorized pass over a compacted job list. ``ok`` is
+    False when the residual capacity (job count, or a window wider than
+    256 lanes) overflowed; callers then retry via the escalated-rpw
+    ladder. Overflow near 2^31 pairs is detected and folded in.
+    """
+    from ..slabs import RESIDUAL_JOBS, residual_count
+
+    wcap_c = jnp.minimum(plan.wcap, LANE)
+    count, count_f = _slab_count(
+        plan.stream, plan.starts, plan.slab_r0, plan.w0, wcap_c,
+        plan.gx, plan.mc, plan.slab_rows, 1, interpret, UNROLL,
+    )
+    rcount, r_ok = residual_count(
+        plan, RESIDUAL_JOBS if j_cap is None else j_cap)
+    no_ovf = count_f < float(2 ** 31 - 2 ** 26)
+    return count + rcount, r_ok & no_ovf
+
+
+@partial(jax.jit, static_argnames=(
+    "gx", "mc", "slab_rows", "rpw", "interpret", "unroll"))
+def _slab_count(stream, starts, slab_r0, w0_tab, wcap_tab,
+                gx, mc, slab_rows, rpw=1, interpret=False, unroll=1):
+    direct = bool(interpret)
+    kernel = _make_slab_kernel(gx, mc, slab_rows, rpw, direct, unroll)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # slab_r0
+        pl.BlockSpec((1, 1, mc * 2), lambda s: (s, 0, 0),
+                     memory_space=pltpu.SMEM),                 # w0
+        pl.BlockSpec((1, 1, mc * 2), lambda s: (s, 0, 0),
+                     memory_space=pltpu.SMEM),                 # wcap
+        pl.BlockSpec(memory_space=pltpu.VMEM if direct else pl.ANY),
+    ]
+    scratch = [pltpu.SMEM((1,), jnp.int32), pltpu.SMEM((1,), jnp.float32)]
+    if not direct:
+        scratch = [
+            pltpu.VMEM((3, slab_rows, 8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+        ]
+
+    out, outf = pl.pallas_call(
+        kernel,
+        grid=(gx,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1,), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(starts, slab_r0,
+      w0_tab.reshape(gx, 1, mc * 2), wcap_tab.reshape(gx, 1, mc * 2),
+      stream)
+    return out[0], outf[0]

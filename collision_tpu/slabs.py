@@ -1,0 +1,322 @@
+"""Slab-sweep broad phase: x-sorted slabs with z-continuous banded windows.
+
+Round-3 redesign of the *sparse-scene* count path. The 2-D column engine
+(columns.py) pays 5 half-stencil tiles per 64-sphere chunk, and on
+uniform scenes its z-windows are only ~60-90 spheres wide — every
+128-lane row test is nearly half empty. This engine drops the y axis
+from the sort key entirely: spheres sort by ``x_slab << zbits |
+quantize(z)`` and the in-tile AABB compare (which always tested y
+anyway) is the only y filter. The half stencil collapses from 5 column
+offsets to 2 (self with ``j > i``, and x+1), and the slab count ``gx``
+is a free knob that widens the z-windows toward a full 128 lanes — the
+same per-tile cost now covers ~2.5x more true candidates.
+
+Cost model (v5e, measured for the 2-D engine and carried over): the
+sweep costs ``chunks x offsets x ceil(window/128)`` row tiles at ~100
+vector-register ops each, independent of grid geometry — so the only
+levers are the offset count (5 -> 2) and window/lane packing (~70/128 ->
+~110/128). The regime boundary is window width itself: when
+``4*r_max*n/(gx_max*ext_z)`` rows exceed a few, the 2-D engine's
+narrower per-column windows win — dense scenes stay on columns.py (the
+collider routes by the plan's own stats).
+
+Correctness never depends on the knobs, exactly as for columns.py:
+windows are conservative supersets (monotone quantization), the kernel
+test is exact, and capacity/row overflows are *detected* (``ok=False``
+with retry stats) — never a silent wrong answer, mirroring the
+reference's count-past-capacity contract (collision.cl:203-207).
+
+Reference parity targets: strict AABB overlap semantics
+(collision.cl:164-166), unordered unique pairs of original ids
+(collision.cl:198-215).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .columns import CHUNK, LANE, _quantize
+from .ops.offset import sorted_bucket_starts
+from .utils import round_up
+
+#: x half-stencil: each unordered slab pair visited once; the self offset
+#: pairs with a j > i index constraint (the right_edge-dedup analog,
+#: collision.cl:198-200).
+SLAB_OFFSETS = (0, 1)
+
+
+class SlabPlan(NamedTuple):
+    """Everything the slab sweep kernel needs, plus host-retry stats."""
+
+    stream: jax.Array      # [Rp, 8, 128] f32: xlo ylo zlo xhi yhi zhi id pad
+    starts: jax.Array      # int32[gx + 2] slab start indices (+1 pad slab)
+    slab_r0: jax.Array     # int32[gx + 1] first stream row of each slab
+    w0: jax.Array          # int32[gx, mc*2] window starts (global)
+    wcap: jax.Array        # int32[gx, mc*2] window lengths
+    ok: jax.Array          # bool: capacities held (result exact iff True)
+    max_col: jax.Array     # int32 stats for host retry
+    max_slab_rows: jax.Array
+    rows_rolled: jax.Array  # int32: max ceil(window/128) any window needs
+    n: int
+    gx: int
+    mc: int
+    slab_rows: int
+
+
+def default_slab_config(n, r_max=None, ext=None, target_slack=40, gx=None):
+    """(gx, col_capacity, slab_rows) from n and optional scene stats.
+
+    ``gx`` targets z-windows of ~CHUNK+target_slack spheres with enough
+    Poisson headroom that the max window over all chunks stays under 128
+    and the rolled sweep runs at one row per tile. The window slack in
+    spheres is ~(2*r_mean + 2*r_max) * n / (gx * ext_z); with scene
+    stats unknown, r_max ~ 1/sqrt(n) (the uniform-benchmark family)
+    gives gx ~ 3*sqrt(n)/target_slack. Pass ``gx`` to pin the slab
+    count and only derive the capacities.
+    """
+    if gx is None:
+        if r_max is not None and ext is not None and ext > 0:
+            gx = 3.0 * float(r_max) * n / (float(ext) * target_slack)
+        else:
+            gx = 3.0 * (n ** 0.5) / target_slack
+    gx = int(np.clip(round(gx), 1, 512))
+    occ = n / gx
+    col_cap = int(round_up(int(occ + 6 * occ ** 0.5 + 16), CHUNK))
+    col_cap = min(col_cap, int(round_up(n, CHUNK)))
+    slab_rows = min(col_cap, n) // LANE + 4
+    return gx, col_cap, slab_rows
+
+
+def _xbits_z(gx):
+    # +1 pad slab; +1 so the last slab's upper window threshold
+    # (col+1) << zbits never wraps uint32.
+    return 32 - max(int(np.ceil(np.log2(gx + 2))), 1)
+
+
+#: Default residual-job capacity of the dual-dispatch count
+#: (:func:`residual_count`): windows wider than 128 lanes are rare by
+#: construction (default_slab_config targets ~CHUNK+40), so a small
+#: static job list suffices; overflow is detected (ok=False -> retry).
+RESIDUAL_JOBS = 256
+
+
+def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS):
+    """(count, ok) for window lanes beyond the first 128.
+
+    The dual-dispatch count runs the Pallas slab sweep at a static one
+    row per window with ``wcap`` clamped to 128 lanes, then counts the
+    clipped remainders here: the plan's window table identifies every
+    (chunk, offset) whose window exceeds 128 lanes (rare by
+    construction — default_slab_config targets ~104-lane windows), the
+    job list is compacted to ``j_cap`` slots, and each job's residual
+    lanes [w0+128, w0+wcap) are tested against its full chunk with one
+    dense vectorized compare — no Pallas, no per-job control flow.
+    ``ok`` is False when the job list or the one-residual-row bound
+    (windows wider than 256 lanes) overflowed; the caller falls back to
+    the escalated-rpw rolled kernel, so results are never silently
+    wrong.
+    """
+    from .ops.scan import inclusive_scan
+
+    gx, mc = plan.gx, plan.mc
+    stream, starts = plan.stream, plan.starts
+    w0f = plan.w0.reshape(-1)          # [gx*mc*2]
+    wcf = plan.wcap.reshape(-1)
+    T = w0f.shape[0]
+
+    res = jnp.maximum(wcf - LANE, 0)
+    ic = inclusive_scan((res > 0).astype(jnp.int32))
+    nj = ic[-1]
+    ok = (nj <= j_cap) & (jnp.max(res) <= LANE)
+
+    ordj = jnp.arange(j_cap, dtype=jnp.int32)
+    sel = jnp.minimum(
+        sorted_bucket_starts(ic, ordj + 1, strides=(64,)), T - 1)
+    live = ordj < nj
+
+    ck = sel // 2                       # (slab, chunk); sel % 2 = offset
+    x = ck // mc
+    k = ck % mc
+    g0 = jnp.take(starts, x) + k * CHUNK
+    aend = jnp.take(starts, x + 1)
+    w0j = jnp.take(w0f, sel)
+    wcj = jnp.where(live, jnp.take(wcf, sel), 0)
+
+    Rp = stream.shape[0]
+    arow = jnp.clip(g0 // LANE, 0, Rp - 2)
+    brow = jnp.clip((w0j + LANE) // LANE, 0, Rp - 2)
+    rows = jnp.stack(
+        [arow, arow + 1, brow, brow + 1], axis=1)       # [J, 4]
+    quad = jnp.take(stream, rows, axis=0)               # [J, 4, 8, 128]
+    a6 = quad[:, :2, :6].reshape(-1, 2, 6, LANE)
+    b6 = quad[:, 2:, :6].reshape(-1, 2, 6, LANE)
+    # Global sorted positions of the fetched lanes.
+    lane2 = jnp.arange(2 * LANE, dtype=jnp.int32)
+    apos = arow[:, None] * LANE + lane2[None, :]        # [J, 256]
+    jpos = brow[:, None] * LANE + lane2[None, :]
+
+    def comp(six, c):
+        return six[:, :, c].reshape(-1, 2 * LANE)       # [J, 256]
+
+    a_ok = (apos >= g0[:, None]) & (apos < jnp.minimum(
+        g0 + CHUNK, aend)[:, None])
+    b_ok = (jpos >= (w0j + LANE)[:, None]) & (jpos < (w0j + wcj)[:, None])
+    # No explicit j > i dedup needed: for self-offset jobs the plan
+    # clips w0 >= g0, so every residual lane has global index
+    # >= w0 + 128 > g0 + CHUNK - 1 >= every a index in the chunk.
+    m = a_ok[:, :, None] & b_ok[:, None, :]
+    m &= comp(a6, 3)[:, :, None] > comp(b6, 0)[:, None, :]
+    m &= comp(a6, 0)[:, :, None] < comp(b6, 3)[:, None, :]
+    m &= comp(a6, 4)[:, :, None] > comp(b6, 1)[:, None, :]
+    m &= comp(a6, 1)[:, :, None] < comp(b6, 4)[:, None, :]
+    m &= comp(a6, 5)[:, :, None] > comp(b6, 2)[:, None, :]
+    m &= comp(a6, 2)[:, :, None] < comp(b6, 5)[:, None, :]
+    return jnp.sum(m, dtype=jnp.int32), ok
+
+
+def plan_slabs(coords, radii, gx, col_capacity, slab_rows):
+    """Sort by (x-slab, z) and precompute the slab sweep kernel's inputs."""
+    arrays = _plan_slabs(coords, radii, gx, col_capacity, slab_rows)
+    mc = -(-col_capacity // CHUNK)
+    return SlabPlan(*arrays, n=coords.shape[0], gx=gx, mc=mc,
+                    slab_rows=slab_rows)
+
+
+@partial(jax.jit, static_argnames=("gx", "col_capacity", "slab_rows"))
+def _plan_slabs(coords, radii, gx, col_capacity, slab_rows):
+    coords = jnp.asarray(coords, jnp.float32)
+    radii = jnp.asarray(radii, jnp.float32)
+    n = coords.shape[0]
+    zbits = _xbits_z(gx)
+    zmax = (1 << zbits) - 1
+    mc = -(-col_capacity // CHUNK)
+
+    lo_s = jnp.min(coords, axis=0)
+    hi_s = jnp.max(coords, axis=0)
+    r_max = jnp.max(radii)
+    ext = hi_s - lo_s
+    one = jnp.float32(1.0)
+    # Slab width >= 2*r_max: colliding pairs always land in the same or
+    # an adjacent slab (the columns.py invariant, x only).
+    sx = jnp.maximum(2 * r_max, ext[0] / gx)
+    sx = jnp.where(sx > 0, sx, one)
+    col = jnp.clip(
+        ((coords[:, 0] - lo_s[0]) / sx).astype(jnp.int32), 0, gx - 1
+    ).astype(jnp.uint32)
+
+    zext = jnp.where(ext[2] > 0, ext[2], one)
+    zscale = zmax / zext
+    zq = _quantize(coords[:, 2], lo_s[2], zscale, zmax)
+    key = (col << zbits) | zq
+
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    key_s, ids_s, x_s, y_s, z_s, r_s = jax.lax.sort(
+        (key, ids, coords[:, 0], coords[:, 1], coords[:, 2], radii),
+        num_keys=1, is_stable=True,
+    )
+    col_s = (key_s >> zbits).astype(jnp.uint32)
+
+    # Slab starts over the extended range (pad slab gx stays empty: its
+    # starts equal n, making the last slab's dx=1 offset vacuous).
+    buckets = jnp.arange(gx + 2, dtype=jnp.uint32)
+    starts = sorted_bucket_starts(col_s, buckets).astype(jnp.int32)
+    slab_r0 = (starts[: gx + 1] // LANE).astype(jnp.int32)
+
+    # --- stream tensor [Rp, 8, 128] ---
+    R = -(-n // LANE)
+    Rp = R + slab_rows + 2
+    npad = Rp * LANE
+
+    def padto(v, fill):
+        return jnp.full((npad,), fill, jnp.float32).at[:n].set(v)
+
+    idf = jax.lax.bitcast_convert_type(ids_s, jnp.float32)
+    comps = jnp.stack([
+        padto(x_s - r_s, jnp.inf), padto(y_s - r_s, jnp.inf),
+        padto(z_s - r_s, jnp.inf), padto(x_s + r_s, jnp.inf),
+        padto(y_s + r_s, jnp.inf), padto(z_s + r_s, jnp.inf),
+        padto(idf, jnp.inf), jnp.full((npad,), jnp.inf, jnp.float32),
+    ])  # [8, npad]
+    stream = jnp.transpose(comps.reshape(8, Rp, LANE), (1, 0, 2))
+
+    # --- exact per-chunk z ranges (two-row strip gather + masked reduce) ---
+    nseg = npad // CHUNK
+    zlo_pad = jnp.full((nseg * CHUNK,), jnp.inf,
+                       jnp.float32).at[:n].set(z_s - r_s)
+    zhi_pad = jnp.full((nseg * CHUNK,), -jnp.inf,
+                       jnp.float32).at[:n].set(z_s + r_s)
+    zlo_rows = zlo_pad.reshape(nseg, CHUNK)
+    zhi_rows = zhi_pad.reshape(nseg, CHUNK)
+
+    c_idx = jnp.arange(gx, dtype=jnp.int32)
+    k_idx = jnp.arange(mc, dtype=jnp.int32)
+    g0 = starts[c_idx][:, None] + k_idx[None, :] * CHUNK      # [gx, mc]
+    ends = starts[c_idx + 1][:, None]
+    valid = g0 < ends
+    alen = jnp.clip(ends - g0, 0, CHUNK)
+    seg = jnp.minimum(g0 // CHUNK, nseg - 2)
+    strip_lo = jnp.concatenate(
+        [jnp.take(zlo_rows, seg, axis=0),
+         jnp.take(zlo_rows, seg + 1, axis=0)], axis=-1)   # [gx, mc, 128]
+    strip_hi = jnp.concatenate(
+        [jnp.take(zhi_rows, seg, axis=0),
+         jnp.take(zhi_rows, seg + 1, axis=0)], axis=-1)
+    local = (g0 - seg * CHUNK)[..., None]
+    lane = jnp.arange(2 * CHUNK, dtype=jnp.int32)
+    inwin = (lane >= local) & (lane < local + alen[..., None])
+    lo_chunk = jnp.min(jnp.where(inwin, strip_lo, jnp.inf), axis=-1)
+    hi_chunk = jnp.max(jnp.where(inwin, strip_hi, -jnp.inf), axis=-1)
+
+    # Window thresholds in quantized-z space: conservative supersets by
+    # monotonicity (columns.py invariant). Clamp to the finite scene
+    # range first — empty chunks carry +/-inf.
+    zhi_scene = lo_s[2] + zext
+    qlo = _quantize(jnp.clip(lo_chunk - r_max, lo_s[2], zhi_scene),
+                    lo_s[2], zscale, zmax)
+    qhi = _quantize(jnp.clip(hi_chunk + r_max, lo_s[2], zhi_scene),
+                    lo_s[2], zscale, zmax)
+
+    # One batched composite-key searchsorted for all (offset, lo/hi)
+    # thresholds.
+    key_q, valid_q = [], []
+    for dx in SLAB_OFFSETS:
+        cb = (c_idx + dx).astype(jnp.uint32)
+        key_q.append((cb[:, None] << zbits) + qlo)
+        key_q.append((cb[:, None] << zbits) + qhi + 1)
+        valid_q.append(valid)
+    all_pos = sorted_bucket_starts(
+        key_s, jnp.stack(key_q).reshape(-1)
+    ).reshape(2 * len(SLAB_OFFSETS), gx, mc).astype(jnp.int32)
+
+    w0_list, wcap_list, rolled_list = [], [], []
+    for off, dx in enumerate(SLAB_OFFSETS):
+        w0 = all_pos[2 * off]
+        wend = all_pos[2 * off + 1]
+        if dx == 0:
+            # Self slab: the j > i dedup mask kills everything below the
+            # chunk start, so clip the window there.
+            w0 = jnp.maximum(w0, g0)
+        w0 = jnp.where(valid_q[off], w0, 0)
+        wcap = jnp.where(valid_q[off], jnp.maximum(wend - w0, 0), 0)
+        w0_list.append(w0)
+        wcap_list.append(wcap)
+        rolled_list.append((wcap + LANE - 1) // LANE)
+
+    w0_tab = jnp.stack(w0_list, axis=-1).reshape(gx, mc * 2)
+    wcap_tab = jnp.stack(wcap_list, axis=-1).reshape(gx, mc * 2)
+    win_rows_rolled = jnp.max(jnp.stack(rolled_list))
+
+    # --- capacity checks (host retry stats; never silently wrong) ---
+    col_lens = starts[1:gx + 1] - starts[:gx]
+    max_col = jnp.max(col_lens)
+    rows_needed = (starts[1:gx + 1] + (LANE - 1)) // LANE \
+        - starts[:gx] // LANE
+    max_slab = jnp.max(rows_needed)
+    ok = (max_col <= col_capacity) & (max_slab + 2 <= slab_rows)
+
+    return (stream, starts, slab_r0, w0_tab, wcap_tab,
+            ok, max_col.astype(jnp.int32), max_slab.astype(jnp.int32),
+            win_rows_rolled.astype(jnp.int32))
