@@ -29,13 +29,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from collision_tpu import collide, default_column_config
+    from collision_tpu import collide
 
     platform = jax.devices()[0].platform
     default_n = 1_000_000 if platform != "cpu" else 65_536
     n = int(os.environ.get("BENCH_N", default_n))
     rounds = int(os.environ.get("BENCH_ROUNDS", 10))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    gx = int(os.environ.get("BENCH_GX", 0)) or None
 
     rng = np.random.RandomState(4)
     coords = jnp.asarray(rng.random((n, 3)).astype("float32"))
@@ -43,17 +44,17 @@ def main():
         rng.uniform(0, 1 / n ** 0.5, n).astype("float32")
     )
 
-    gxy, col_cap, slab_rows = default_column_config(n)
-
     @partial(jax.jit, static_argnames=("k",))
     def chain(coords, radii, k):
         # Each iteration perturbs the input by a count-dependent epsilon so
         # no step can be folded away, then depends on the previous count.
         def body(i, carry):
             acc, c = carry
-            res = collide(c, radii, 0, method="column", gxy=gxy,
-                          col_capacity=col_cap, slab_rows=slab_rows)
-            eps = (res.count % 2).astype(jnp.float32) * 1e-7
+            # The round-3 slab engine (dual-dispatch count: 1-row Pallas
+            # sweep + vectorized residual; ok asserted exact below).
+            res = collide(c, radii, 0, method="slab", gx=gx)
+            eps = (res.count % 2).astype(jnp.float32) * 1e-7 \
+                + res.ok.astype(jnp.float32) * 1e-9
             return acc + res.count, coords + eps
         acc, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), coords))
         return acc

@@ -50,10 +50,13 @@ def mask_groups(mc, rpw):
 
     The mask kernel's output block is KG*5*rpw KiB of VMEM; grouping
     chunks keeps it under ~2 MiB for any rpw so the kernel never blows
-    the scoped-VMEM budget (observed at rpw=16 with deep columns).
+    the scoped-VMEM budget (observed at rpw=16 with deep columns). KG is
+    rounded up to a multiple of 4 so the chunk loop can unroll 4x (dead
+    chunks pack exact zeros — at most 3 per group).
     """
     kg = max(1, (2 << 20) // (5 * rpw * 1024))
     kg = min(kg, mc)
+    kg = -(-kg // 4) * 4
     return kg, -(-mc // kg)
 
 
@@ -196,7 +199,7 @@ def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
     return kernel
 
 
-def _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct_stream):
+def _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct_stream, unroll=1):
     """Count sweep with lane-rolled window reads.
 
     The plain kernel tests whole 128-lane stream rows, so a window of
@@ -273,11 +276,12 @@ def _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct_stream):
             a1 = starts_ref[col + 1]
             nchunks = jnp.minimum((a1 - a0 + CHUNK - 1) // CHUNK, mc)
 
-            def k_body(k, acc):
+            def chunk_tests(k, acc):
                 g0 = a0 + k * CHUNK
                 alen = jnp.minimum(a1 - g0, CHUNK)
                 a6 = read_win(0, g0)
                 aT = jnp.swapaxes(a6, 0, 1)
+                # Dead unroll slots (alen <= 0) go all-inf and vanish.
                 aT = jnp.where(sub_full < alen, aT, jnp.inf)
                 axlo = aT[:CHUNK, 0:1]
                 aylo = aT[:CHUNK, 1:2]
@@ -285,7 +289,8 @@ def _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct_stream):
                 axhi = aT[:CHUNK, 3:4]
                 ayhi = aT[:CHUNK, 4:5]
                 azhi = aT[:CHUNK, 5:6]
-                tbase = (y * mc + k) * 5
+                # Clamp keeps dead slots' SMEM table reads in range.
+                tbase = (y * mc + jnp.minimum(k, mc - 1)) * 5
 
                 for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
                     w0 = w0_ref[0, 0, tbase + off]
@@ -308,8 +313,22 @@ def _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct_stream):
                         acc = acc + fold
                 return acc
 
-            acc = jax.lax.fori_loop(
-                0, nchunks, k_body, jnp.zeros((8, LANE), jnp.int32))
+            if unroll == 1:
+                acc = jax.lax.fori_loop(
+                    0, nchunks, chunk_tests,
+                    jnp.zeros((8, LANE), jnp.int32))
+            else:
+                # Per-chunk overhead bound (see kernels/slab_sweep.py
+                # UNROLL): fewer, fatter iterations pipeline the
+                # dynamic-slice reads.
+                def g_body(g, acc):
+                    for t in range(unroll):
+                        acc = chunk_tests(g * unroll + t, acc)
+                    return acc
+
+                acc = jax.lax.fori_loop(
+                    0, (nchunks + unroll - 1) // unroll, g_body,
+                    jnp.zeros((8, LANE), jnp.int32))
             return (tot_i + jnp.sum(acc, dtype=jnp.int32),
                     tot_f + jnp.sum(acc.astype(jnp.float32),
                                     dtype=jnp.float32))
@@ -327,7 +346,8 @@ def _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct_stream):
     return kernel
 
 
-def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream):
+def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream,
+                       unroll=1):
     """Mask-emitting sweep: same banded window walk as the count kernel,
     but every row-tile's [CHUNK, 128] overlap mask is bit-packed into two
     uint32 lane-words and written to a per-(x, y) HBM block — the input
@@ -407,7 +427,7 @@ def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream):
         a1 = starts_ref[col + 1]
         k_lo = g * kg
 
-        def k_body(k, _):
+        def chunk_masks(k):
             g0 = a0 + k * CHUNK
             alen = jnp.minimum(a1 - g0, CHUNK)
             a6 = read_aligned(g0)
@@ -455,16 +475,25 @@ def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream):
                         half1 = half1[:hw] + half1[hw:2 * hw]
                     packed_all.append(half0)
                     packed_all.append(half1)
-            # One dynamic store per chunk instead of 5*rpw (dynamic-index
-            # VMEM stores dominated the per-tile version). Layout is
-            # [rows, 128] with rows = tile-slot-major, half-minor: a
-            # trailing [2, 128] axis pair would tile to (8, 128) on TPU
-            # and pad the buffer 4x.
-            block = jnp.concatenate(packed_all, axis=0)  # [5*rpw*2, 128]
-            out_ref[0, pl.ds((k - k_lo) * 5 * rpw * 2, 5 * rpw * 2)] = block
+            return packed_all
+
+        def g_body(gq, _):
+            # ``unroll`` chunks per iteration (the sweep is per-chunk
+            # overhead bound — see kernels/slab_sweep.py UNROLL), merged
+            # into ONE dynamic store: consecutive chunks' block rows are
+            # adjacent in the output. Layout is [rows, 128] with rows =
+            # chunk-major, tile-slot, half-minor: a trailing [2, 128]
+            # axis pair would tile to (8, 128) on TPU and pad 4x.
+            k0 = k_lo + gq * unroll
+            packed_all = []
+            for t in range(unroll):
+                packed_all += chunk_masks(k0 + t)
+            block = jnp.concatenate(packed_all, axis=0)
+            out_ref[0, pl.ds((k0 - k_lo) * 5 * rpw * 2,
+                             unroll * 5 * rpw * 2)] = block
             return 0
 
-        jax.lax.fori_loop(k_lo, k_lo + kg, k_body, 0)
+        jax.lax.fori_loop(0, kg // unroll, g_body, 0)
 
     return kernel
 
@@ -494,7 +523,9 @@ def _sweep_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
     kg, ng = mask_groups(mc, rpw)
     kgt = kg * 5 * rpw
     direct = bool(interpret)
-    kernel = _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct)
+    unroll = next(u for u in (4, 2, 1) if kg % u == 0)
+    kernel = _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct,
+                                unroll)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts
@@ -531,6 +562,11 @@ def _sweep_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
     return out
 
 
+#: Default chunk-loop unroll of the rolled kernel (see
+#: kernels/slab_sweep.py UNROLL for the measured rationale).
+UNROLL = 4
+
+
 def sweep_count(plan: ColumnPlan, rpw=2, interpret=False, rolled=False):
     """Exact pair count from a column plan.
 
@@ -559,13 +595,17 @@ def sweep_count_guarded(plan: ColumnPlan, rpw=2, interpret=False,
 
 
 @partial(jax.jit, static_argnames=(
-    "gxy", "mc", "slab_rows", "rpw", "interpret", "rolled"))
+    "gxy", "mc", "slab_rows", "rpw", "interpret", "rolled", "unroll"))
 def _sweep_count(stream, starts, slab_r0, w0_tab, wcap_tab,
-                 gxy, mc, slab_rows, rpw=2, interpret=False, rolled=False):
+                 gxy, mc, slab_rows, rpw=2, interpret=False, rolled=False,
+                 unroll=UNROLL):
     K = gxy * mc * 5
     direct = bool(interpret)
-    make = _make_rolled_kernel if rolled else _make_kernel
-    kernel = make(gxy, mc, slab_rows, rpw, direct)
+    if rolled:
+        kernel = _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct,
+                                     unroll)
+    else:
+        kernel = _make_kernel(gxy, mc, slab_rows, rpw, direct)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts

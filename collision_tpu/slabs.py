@@ -66,7 +66,7 @@ class SlabPlan(NamedTuple):
     slab_rows: int
 
 
-def default_slab_config(n, r_max=None, ext=None, target_slack=40, gx=None):
+def default_slab_config(n, r_max=None, ext=None, target_slack=24, gx=None):
     """(gx, col_capacity, slab_rows) from n and optional scene stats.
 
     ``gx`` targets z-windows of ~CHUNK+target_slack spheres with enough
@@ -74,8 +74,12 @@ def default_slab_config(n, r_max=None, ext=None, target_slack=40, gx=None):
     and the rolled sweep runs at one row per tile. The window slack in
     spheres is ~(2*r_mean + 2*r_max) * n / (gx * ext_z); with scene
     stats unknown, r_max ~ 1/sqrt(n) (the uniform-benchmark family)
-    gives gx ~ 3*sqrt(n)/target_slack. Pass ``gx`` to pin the slab
-    count and only derive the capacities.
+    gives gx ~ 3*sqrt(n)/target_slack. The default slack targets
+    ~88-lane windows: small enough that residual jobs (windows past 128
+    lanes) stay rare — at 1M, gx=128 measured r_ok=True with the
+    256-job default while gx<=75 overflowed it — while lane packing
+    stays fair. Pass ``gx`` to pin the slab count and only derive the
+    capacities.
     """
     if gx is None:
         if r_max is not None and ext is not None and ext > 0:
@@ -98,7 +102,7 @@ def _xbits_z(gx):
 
 #: Default residual-job capacity of the dual-dispatch count
 #: (:func:`residual_count`): windows wider than 128 lanes are rare by
-#: construction (default_slab_config targets ~CHUNK+40), so a small
+#: construction (default_slab_config targets ~CHUNK+24), so a small
 #: static job list suffices; overflow is detected (ok=False -> retry).
 RESIDUAL_JOBS = 256
 
@@ -110,7 +114,7 @@ def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS):
     row per window with ``wcap`` clamped to 128 lanes, then counts the
     clipped remainders here: the plan's window table identifies every
     (chunk, offset) whose window exceeds 128 lanes (rare by
-    construction — default_slab_config targets ~104-lane windows), the
+    construction — default_slab_config targets ~88-lane windows), the
     job list is compacted to ``j_cap`` slots, and each job's residual
     lanes [w0+128, w0+wcap) are tested against its full chunk with one
     dense vectorized compare — no Pallas, no per-job control flow.
@@ -192,7 +196,6 @@ def _plan_slabs(coords, radii, gx, col_capacity, slab_rows):
     n = coords.shape[0]
     zbits = _xbits_z(gx)
     zmax = (1 << zbits) - 1
-    mc = -(-col_capacity // CHUNK)
 
     lo_s = jnp.min(coords, axis=0)
     hi_s = jnp.max(coords, axis=0)
@@ -217,11 +220,56 @@ def _plan_slabs(coords, radii, gx, col_capacity, slab_rows):
         (key, ids, coords[:, 0], coords[:, 1], coords[:, 2], radii),
         num_keys=1, is_stable=True,
     )
+    return _plan_from_sorted(
+        key_s, ids_s, x_s, y_s, z_s, r_s, jnp.int32(n), gx, 0, zbits,
+        lo_s[2], zext, zscale, r_max, col_capacity, slab_rows)
+
+
+def slab_sort_keys(coords, radii, gx, lo_s, ext, r_max):
+    """Composite ``x_slab << zbits | quantize(z)`` sort keys.
+
+    ``lo_s``/``ext``/``r_max`` are the *scene* statistics — in the
+    sharded engine these are global (psum-reduced) so every device
+    quantizes identically.
+    """
+    zbits = _xbits_z(gx)
+    zmax = (1 << zbits) - 1
+    one = jnp.float32(1.0)
+    sx = jnp.maximum(2 * r_max, ext[0] / gx)
+    sx = jnp.where(sx > 0, sx, one)
+    col = jnp.clip(
+        ((coords[:, 0] - lo_s[0]) / sx).astype(jnp.int32), 0, gx - 1
+    ).astype(jnp.uint32)
+    zext = jnp.where(ext[2] > 0, ext[2], one)
+    zscale = zmax / zext
+    zq = _quantize(coords[:, 2], lo_s[2], zscale, zmax)
+    return (col << zbits) | zq, zscale
+
+
+def _plan_from_sorted(key_s, ids_s, x_s, y_s, z_s, r_s, size, gx, col0,
+                      zbits, lo_z, zext, zscale, r_max, col_capacity,
+                      slab_rows):
+    """Stream + window tables from key-sorted sphere data.
+
+    The reusable core of the slab plan: callers own the sort. ``size``
+    (dynamic) is the valid prefix length — entries past it must carry
+    sentinel keys (uint32 max) so they sort last; their component values
+    are ignored (the stream masks them to +inf). ``col0`` offsets the
+    slab ids: the sharded engine plans a device's local range
+    [col0, col0 + gx) over its shard, with the halo slab sitting at
+    local index gx (the position the single-device plan keeps vacuous).
+    """
+    n = key_s.shape[0]
+    zmax = (1 << zbits) - 1
+    mc = -(-col_capacity // CHUNK)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    valid = pos < size
     col_s = (key_s >> zbits).astype(jnp.uint32)
 
-    # Slab starts over the extended range (pad slab gx stays empty: its
-    # starts equal n, making the last slab's dx=1 offset vacuous).
-    buckets = jnp.arange(gx + 2, dtype=jnp.uint32)
+    # Slab starts over the extended range. In the single-device plan the
+    # pad slab gx stays empty (starts equal size, making the last slab's
+    # dx=1 offset vacuous); the sharded plan parks the halo there.
+    buckets = jnp.uint32(col0) + jnp.arange(gx + 2, dtype=jnp.uint32)
     starts = sorted_bucket_starts(col_s, buckets).astype(jnp.int32)
     slab_r0 = (starts[: gx + 1] // LANE).astype(jnp.int32)
 
@@ -231,6 +279,7 @@ def _plan_slabs(coords, radii, gx, col_capacity, slab_rows):
     npad = Rp * LANE
 
     def padto(v, fill):
+        v = jnp.where(valid, v, fill)
         return jnp.full((npad,), fill, jnp.float32).at[:n].set(v)
 
     idf = jax.lax.bitcast_convert_type(ids_s, jnp.float32)
@@ -244,10 +293,10 @@ def _plan_slabs(coords, radii, gx, col_capacity, slab_rows):
 
     # --- exact per-chunk z ranges (two-row strip gather + masked reduce) ---
     nseg = npad // CHUNK
-    zlo_pad = jnp.full((nseg * CHUNK,), jnp.inf,
-                       jnp.float32).at[:n].set(z_s - r_s)
-    zhi_pad = jnp.full((nseg * CHUNK,), -jnp.inf,
-                       jnp.float32).at[:n].set(z_s + r_s)
+    zlo_pad = jnp.full((nseg * CHUNK,), jnp.inf, jnp.float32) \
+        .at[:n].set(jnp.where(valid, z_s - r_s, jnp.inf))
+    zhi_pad = jnp.full((nseg * CHUNK,), -jnp.inf, jnp.float32) \
+        .at[:n].set(jnp.where(valid, z_s + r_s, -jnp.inf))
     zlo_rows = zlo_pad.reshape(nseg, CHUNK)
     zhi_rows = zhi_pad.reshape(nseg, CHUNK)
 
@@ -255,7 +304,7 @@ def _plan_slabs(coords, radii, gx, col_capacity, slab_rows):
     k_idx = jnp.arange(mc, dtype=jnp.int32)
     g0 = starts[c_idx][:, None] + k_idx[None, :] * CHUNK      # [gx, mc]
     ends = starts[c_idx + 1][:, None]
-    valid = g0 < ends
+    valid_c = g0 < ends
     alen = jnp.clip(ends - g0, 0, CHUNK)
     seg = jnp.minimum(g0 // CHUNK, nseg - 2)
     strip_lo = jnp.concatenate(
@@ -272,21 +321,23 @@ def _plan_slabs(coords, radii, gx, col_capacity, slab_rows):
 
     # Window thresholds in quantized-z space: conservative supersets by
     # monotonicity (columns.py invariant). Clamp to the finite scene
-    # range first — empty chunks carry +/-inf.
-    zhi_scene = lo_s[2] + zext
-    qlo = _quantize(jnp.clip(lo_chunk - r_max, lo_s[2], zhi_scene),
-                    lo_s[2], zscale, zmax)
-    qhi = _quantize(jnp.clip(hi_chunk + r_max, lo_s[2], zhi_scene),
-                    lo_s[2], zscale, zmax)
+    # range first — empty chunks carry +/-inf. ``zext`` is the exact
+    # scene z extent (not zmax/zscale, whose f32 round-trip could clamp
+    # a top-of-scene sphere out of its window).
+    zhi_scene = lo_z + zext
+    qlo = _quantize(jnp.clip(lo_chunk - r_max, lo_z, zhi_scene),
+                    lo_z, zscale, zmax)
+    qhi = _quantize(jnp.clip(hi_chunk + r_max, lo_z, zhi_scene),
+                    lo_z, zscale, zmax)
 
     # One batched composite-key searchsorted for all (offset, lo/hi)
     # thresholds.
     key_q, valid_q = [], []
     for dx in SLAB_OFFSETS:
-        cb = (c_idx + dx).astype(jnp.uint32)
+        cb = (jnp.uint32(col0) + c_idx.astype(jnp.uint32) + dx)
         key_q.append((cb[:, None] << zbits) + qlo)
         key_q.append((cb[:, None] << zbits) + qhi + 1)
-        valid_q.append(valid)
+        valid_q.append(valid_c)
     all_pos = sorted_bucket_starts(
         key_s, jnp.stack(key_q).reshape(-1)
     ).reshape(2 * len(SLAB_OFFSETS), gx, mc).astype(jnp.int32)
