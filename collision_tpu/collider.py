@@ -265,8 +265,7 @@ def _slab_collide(coords, radii, capacity, gx, col_capacity, slab_rows,
     plan's stats let the host retry (Collider falls back to the column
     engine for scenes whose windows the slab geometry cannot hold).
     """
-    from .fill import run_fill
-    from .kernels.slab_emit import slab_fill_pairs
+    from .fill import run_fill, slab_mask_fill
     from .kernels.slab_sweep import slab_count_dual
     from .slabs import plan_slabs
 
@@ -275,23 +274,23 @@ def _slab_collide(coords, radii, capacity, gx, col_capacity, slab_rows,
     use_kernels = on_tpu or (kernel_mode == "interpret" and f32)
     interp = not on_tpu
     if use_kernels:
-        plan = plan_slabs(
-            jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
-            gx, col_capacity, slab_rows,
-        )
         if capacity == 0:
             # Dual dispatch: 1-row sweep + vectorized residual — no
             # rows-per-window knob on the count path at all.
+            plan = plan_slabs(
+                jnp.asarray(coords, jnp.float32),
+                jnp.asarray(radii, jnp.float32),
+                gx, col_capacity, slab_rows,
+            )
             count, d_ok = slab_count_dual(plan, interpret=interp)
             return CollisionResult(
                 count.astype(jnp.uint32), None, lo_scene, hi_scene,
                 ok=plan.ok & d_ok)
-        ok = plan.ok & (plan.rows_rolled <= rpw)
-        ida, idb, total, no_ovf = slab_fill_pairs(
-            plan, capacity, rpw=rpw, interpret=interp)
+        ida, idb, total, ok = slab_mask_fill(
+            coords, radii, capacity, gx, col_capacity, slab_rows,
+            rpw=rpw, interpret=interp)
         pairs = jnp.stack([ida, idb], axis=1)
-        return CollisionResult(
-            total, pairs, lo_scene, hi_scene, ok=ok & no_ovf)
+        return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
     # Portable path (CPU tests, float64): the run-expansion pipeline is
     # column-keyed; resolve its own grid from n.
     from .columns import default_column_config

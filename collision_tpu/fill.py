@@ -276,12 +276,17 @@ def _select_bit(word, rank):
     return pos
 
 
-def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, kcap=None):
+def _mask_fill_emit(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
+                    total, kcap=None, noff=5, rolled=False):
     """Emit (ida, idb) SoA pair buffers from packed sweep masks.
 
-    ``B``: uint32[ncols*NG, KG*5*rpw*2, 128] from sweep_masks. A word's
-    flat (row, lane) position decodes to (column, chunk group, tile
-    slot, half, stream lane); bit b = chunk sublane h*32+b.
+    ``B``: uint32[ncols*NG, KG*noff*rpw*2, 128] from sweep_masks
+    (``noff=5``, aligned window rows) or slab_sweep_masks (``noff=2``,
+    ``rolled=True``: lane l of tile row r = window element
+    w0 + r*128 + l). A word's flat (row, lane) position decodes to
+    (column, chunk group, tile slot, half, stream lane); bit b = chunk
+    sublane h*32+b. ``starts``/``w0_flat`` are the plan's column starts
+    and flattened window-start table; ``mc`` the chunk capacity.
 
     Emission is *sparse*, at two granularities that both stay in the
     mask buffer's native [rows, 128] layout (the round-2 pipeline's flat
@@ -304,9 +309,8 @@ def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, kcap=None):
     """
     from .kernels.sweep import mask_groups
 
-    gxy, mc = plan.gxy, plan.mc
     kg, ng = mask_groups(mc, rpw)
-    kgt = kg * 5 * rpw
+    kgt = kg * noff * rpw
 
     Bv = B.reshape(-1, LANE)               # layout-preserving: minor=128
     Rw = Bv.shape[0]
@@ -373,19 +377,19 @@ def _mask_fill_emit(B, plan, ids_flat, capacity, rpw, total, kcap=None):
     nb = R // (2 * kgt)
     colg = nb // ng
     g = nb % ng
-    kk = sl // (5 * rpw)
-    off = (sl // rpw) % 5
+    kk = sl // (noff * rpw)
+    off = (sl // rpw) % noff
     r = sl % rpw
     k = jnp.minimum(g * kg + kk, mc - 1)
-    x = colg // gxy
-    y = colg % gxy
 
     nsort = ids_flat.shape[0]
-    i = jnp.take(plan.starts, jnp.minimum(colg, gxy * gxy)) \
+    i = jnp.take(starts, jnp.minimum(colg, starts.shape[0] - 1)) \
         + k * CHUNK + h * 32 + bit
-    w0_flat = plan.w0.reshape(-1)
-    w0u = jnp.take(w0_flat, x * (gxy * mc * 5) + (y * mc + k) * 5 + off)
-    j = (w0u // LANE + r) * LANE + lane
+    w0u = jnp.take(w0_flat, (colg * mc + k) * noff + off)
+    if rolled:
+        j = w0u + r * LANE + lane
+    else:
+        j = (w0u // LANE + r) * LANE + lane
     ida = jnp.take(ids_flat, jnp.clip(i, 0, nsort - 1))
     idb = jnp.take(ids_flat, jnp.clip(j, 0, nsort - 1))
     live = q < jnp.minimum(total, capacity)
@@ -437,7 +441,8 @@ def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
     ids_flat = jax.lax.bitcast_convert_type(
         plan.stream[:, 6, :], jnp.uint32).reshape(-1)
     ida, idb, trunc_safe = _mask_fill_emit(
-        B, plan, ids_flat, capacity, rpw, total, kcap)
+        B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat, capacity,
+        rpw, total, kcap, noff=5, rolled=False)
     return ida, idb, total.astype(jnp.uint32), ok & trunc_safe
 
 
@@ -462,3 +467,46 @@ def run_fill(coords, radii, capacity, gxy, cand_capacity, chunk=1 << 20):
     cand_capacity = -(-cand_capacity // chunk) * chunk
     return _run_fill(coords, radii, int(capacity), int(gxy),
                      int(cand_capacity), chunk)
+
+
+def slab_mask_fill(coords, radii, capacity, gx, col_capacity, slab_rows,
+                   rpw=1, interpret=False, kcap=None):
+    """Sparse-emission pair fill over the slab engine's 2-offset masks.
+
+    The slab analog of :func:`mask_fill`: the rolled slab masks kernel
+    (kernels/slab_sweep.py slab_sweep_masks) writes ~2/5 the mask words
+    of the column kernel, and the same two-level sparse emission decodes
+    them (``noff=2``, rolled window rows). Returns
+    (ida[capacity], idb[capacity], total, ok).
+    """
+    return _slab_mask_fill_impl(
+        coords, radii, int(capacity), int(gx), int(col_capacity),
+        int(slab_rows), int(rpw), bool(interpret),
+        None if kcap is None else int(kcap))
+
+
+@partial(jax.jit, static_argnames=(
+    "capacity", "gx", "col_capacity", "slab_rows", "rpw", "interpret",
+    "kcap"))
+def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
+                         slab_rows, rpw, interpret, kcap=None):
+    from .kernels.slab_sweep import slab_sweep_masks
+    from .slabs import plan_slabs
+
+    plan = plan_slabs(
+        jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
+        gx, col_capacity, slab_rows)
+    B = slab_sweep_masks(plan, rpw=rpw, interpret=interpret)
+    pc = jax.lax.population_count(B.reshape(-1))
+    total = jnp.sum(pc, dtype=jnp.int32)
+    ok = plan.ok & (plan.rows_rolled <= rpw) \
+        & (jnp.sum(pc.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
+    if capacity == 0:
+        return (jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.uint32),
+                total.astype(jnp.uint32), ok)
+    ids_flat = jax.lax.bitcast_convert_type(
+        plan.stream[:, 6, :], jnp.uint32).reshape(-1)
+    ida, idb, trunc_safe = _mask_fill_emit(
+        B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat, capacity,
+        rpw, total, kcap, noff=2, rolled=True)
+    return ida, idb, total.astype(jnp.uint32), ok & trunc_safe

@@ -167,6 +167,187 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1):
 UNROLL = 4
 
 
+def _make_slab_masks_kernel(gx, mc, slab_rows, rpw, kg, direct_stream,
+                            unroll=1):
+    """Mask-emitting slab sweep: the 2-offset analog of
+    kernels/sweep.py's masks kernel. Each row-tile's [CHUNK, 128]
+    overlap mask is bit-packed into two uint32 lane-rows and written to
+    a per-(slab, chunk-group) HBM block — the input to the sparse
+    mask-fill emission (fill.py). Unvisited tile slots stay zero."""
+    def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
+               out_ref, *scratch):
+        if direct_stream:
+            bufs = sems = None
+        else:
+            bufs, sems = scratch
+        x = pl.program_id(0)
+        g = pl.program_id(1)
+
+        if not direct_stream:
+            def start_slab(s, slot):
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[s], slab_rows)],
+                    bufs.at[slot], sems.at[slot]).start()
+
+            @pl.when((x == 0) & (g == 0))
+            def _init_dma():
+                start_slab(0, 0)
+                start_slab(1, 1)
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[0], slab_rows)],
+                    bufs.at[0], sems.at[0]).wait()
+
+            @pl.when(g == 0)
+            def _ring_step():
+                pltpu.make_async_copy(
+                    stream_ref.at[pl.ds(r0_ref[x + 1], slab_rows)],
+                    bufs.at[(x + 1) % 3], sems.at[(x + 1) % 3]).wait()
+
+                @pl.when(x + 2 <= gx)
+                def _prefetch():
+                    start_slab(x + 2, (x + 2) % 3)
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        sub_full = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+        iota6 = jax.lax.broadcasted_iota(jnp.int32, (6, LANE), 1)
+        shift = jax.lax.broadcasted_iota(
+            jnp.uint32, (CHUNK, LANE), 0) % 32
+
+        def read_win(dx, gidx):
+            lrow = gidx // LANE
+            lane0 = gidx % LANE
+            if direct_stream:
+                lr = jnp.clip(lrow, 0, stream_ref.shape[0] - 2)
+                two = stream_ref[pl.ds(lr, 2), pl.ds(0, 6), :]
+            else:
+                slot = jax.lax.rem(x + dx, 3)
+                lr = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 2)
+                two = bufs[slot, pl.ds(lr, 2), pl.ds(0, 6), :]
+            rolled = pltpu.roll(two, -lane0, 2)
+            return jnp.where(iota6 < LANE - lane0, rolled[0], rolled[1])
+
+        a0 = starts_ref[x]
+        a1 = starts_ref[x + 1]
+        k_lo = g * kg
+
+        def chunk_masks(k):
+            g0 = a0 + k * CHUNK
+            alen = jnp.minimum(a1 - g0, CHUNK)
+            a6 = read_win(0, g0)
+            aT = jnp.swapaxes(a6, 0, 1)
+            aT = jnp.where(sub_full < alen, aT, jnp.inf)
+            axlo = aT[:CHUNK, 0:1]
+            aylo = aT[:CHUNK, 1:2]
+            azlo = aT[:CHUNK, 2:3]
+            axhi = aT[:CHUNK, 3:4]
+            ayhi = aT[:CHUNK, 4:5]
+            azhi = aT[:CHUNK, 5:6]
+            tbase = jnp.minimum(k, mc - 1) * 2
+
+            packed_all = []
+            for off, dx in enumerate(SLAB_OFFSETS):
+                w0 = w0_ref[0, 0, tbase + off]
+                wcap = wcap_ref[0, 0, tbase + off]
+                for r in range(rpw):
+                    # Rolled reads (unlike the 2-D masks kernel's
+                    # aligned reads): lane l of row r is window element
+                    # w0 + r*128 + l.
+                    b6 = read_win(dx, w0 + r * LANE)
+                    jrel = r * LANE + lane_i
+                    m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
+                    m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
+                    m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
+                    m &= jrel < wcap
+                    if dx == 0:
+                        m &= w0 + jrel > g0 + sub_c
+                    bits = jnp.where(m, jnp.uint32(1) << shift,
+                                     jnp.uint32(0))
+                    half0 = bits[0:32]
+                    half1 = bits[32:64]
+                    for hw in (16, 8, 4, 2, 1):
+                        half0 = half0[:hw] + half0[hw:2 * hw]
+                        half1 = half1[:hw] + half1[hw:2 * hw]
+                    packed_all.append(half0)
+                    packed_all.append(half1)
+            return packed_all
+
+        def g_body(gq, _):
+            k0 = k_lo + gq * unroll
+            packed_all = []
+            for t in range(unroll):
+                packed_all += chunk_masks(k0 + t)
+            block = jnp.concatenate(packed_all, axis=0)
+            out_ref[0, pl.ds((k0 - k_lo) * 2 * rpw * 2,
+                             unroll * 2 * rpw * 2)] = block
+            return 0
+
+        jax.lax.fori_loop(0, kg // unroll, g_body, 0)
+
+    return kernel
+
+
+def slab_sweep_masks(plan: SlabPlan, rpw=1, interpret=False):
+    """Packed per-tile overlap bitmasks over a slab plan.
+
+    Returns uint32[gx*NG, KG*2*rpw*2, 128] (layout as
+    kernels/sweep.py sweep_masks, with the 2-offset slab stencil and
+    *rolled* window rows: lane l of tile row r = window element
+    w0 + r*128 + l). Exact iff ``plan.ok`` and
+    ``plan.rows_rolled <= rpw``.
+    """
+    return _slab_masks(
+        plan.stream, plan.starts, plan.slab_r0, plan.w0, plan.wcap,
+        plan.gx, plan.mc, plan.slab_rows, rpw, interpret)
+
+
+@partial(jax.jit, static_argnames=(
+    "gx", "mc", "slab_rows", "rpw", "interpret"))
+def _slab_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
+                gx, mc, slab_rows, rpw=1, interpret=False):
+    from .sweep import mask_groups
+
+    kg, ng = mask_groups(mc, rpw)
+    kgt2 = kg * 2 * rpw * 2
+    direct = bool(interpret)
+    unroll = next(u for u in (4, 2, 1) if kg % u == 0)
+    kernel = _make_slab_masks_kernel(gx, mc, slab_rows, rpw, kg, direct,
+                                     unroll)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # slab_r0
+        pl.BlockSpec((1, 1, mc * 2), lambda x, g: (x, 0, 0),
+                     memory_space=pltpu.SMEM),                 # w0
+        pl.BlockSpec((1, 1, mc * 2), lambda x, g: (x, 0, 0),
+                     memory_space=pltpu.SMEM),                 # wcap
+        pl.BlockSpec(memory_space=pltpu.VMEM if direct else pl.ANY),
+    ]
+    scratch = []
+    if not direct:
+        scratch = [
+            pltpu.VMEM((3, slab_rows, 8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(gx, ng),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, kgt2, LANE),
+            lambda x, g: (x * ng + g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((gx * ng, kgt2, LANE), jnp.uint32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(starts, slab_r0,
+      w0_tab.reshape(gx, 1, mc * 2), wcap_tab.reshape(gx, 1, mc * 2),
+      stream)
+    return out
+
+
 def slab_count(plan: SlabPlan, rpw=1, interpret=False, unroll=UNROLL):
     """Exact pair count from a slab plan.
 
