@@ -13,10 +13,12 @@ def test_entry_compiles_and_runs():
     import __graft_entry__ as g
 
     fn, args = g.entry()
-    count_res, fill_res, bvh_res = jax.jit(fn)(*args)
+    slab_res, count_res, fill_res, bvh_res = jax.jit(fn)(*args)
     assert int(count_res.count) >= 0
     assert count_res.pairs is None
+    assert slab_res.pairs is None
     assert int(fill_res.count) == int(count_res.count)
+    assert int(slab_res.count) == int(count_res.count)
     for res in (fill_res, bvh_res):
         assert int(res.count) >= 0
         assert res.pairs.shape[1] == 2
