@@ -32,8 +32,8 @@ def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
       capacity: 0 counts collisions per step (the sim-loop benchmark shape);
         > 0 additionally returns the final step's pairs.
       method: collide engine per step — "auto" (column fast path at
-        scale, BVH otherwise), "column", "bvh" (always exact) or "grid"
-        (round-1 engine). Static-capacity overflow in any step surfaces
+        scale, BVH otherwise), "slab" (round-3 sparse fast path),
+        "column", "bvh" (always exact) or "grid" (round-1 engine). Static-capacity overflow in any step surfaces
         via the returned ``ok`` flag.
 
         .. note:: breaking default change in round 2 — ``method`` used
