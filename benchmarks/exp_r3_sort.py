@@ -16,6 +16,7 @@ from functools import partial
 import numpy as np
 
 import jax
+jax.config.update("jax_enable_x64", True)  # u64 packing variants
 import jax.numpy as jnp
 
 

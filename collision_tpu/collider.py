@@ -232,8 +232,11 @@ def _column_collide(coords, radii, capacity, gxy, col_capacity, slab_rows,
             jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
             gxy, col_capacity, slab_rows,
         )
-        count, no_ovf = sweep_count_guarded(plan, rpw=rpw, interpret=interp)
-        ok = plan.ok & (plan.rows_needed <= rpw) & no_ovf
+        # Lane-rolled + 4x-unrolled kernel: alignment-free row coverage
+        # (the weaker rows_rolled bound) and pipelined chunk reads.
+        count, no_ovf = sweep_count_guarded(
+            plan, rpw=rpw, interpret=interp, rolled=True)
+        ok = plan.ok & (plan.rows_rolled <= rpw) & no_ovf
         return CollisionResult(
             count.astype(jnp.uint32), None, lo_scene, hi_scene, ok=ok)
     if use_kernels:
