@@ -2,6 +2,10 @@ from .batched import batched_count
 from .compact import compact_mask
 from .emit import emit_pairs, grid_fill, halo_tile_counts
 from .halo import halo_pairs
+from .slab_sweep import (
+    slab_count, slab_count_dual, slab_count_guarded, slab_sweep_masks)
+from .stream_emit import stream_fill_pairs
+from .sweep import sweep_count, sweep_count_guarded, sweep_masks
 
 __all__ = [
     "batched_count",
@@ -10,4 +14,12 @@ __all__ = [
     "grid_fill",
     "halo_tile_counts",
     "halo_pairs",
+    "slab_count",
+    "slab_count_dual",
+    "slab_count_guarded",
+    "slab_sweep_masks",
+    "stream_fill_pairs",
+    "sweep_count",
+    "sweep_count_guarded",
+    "sweep_masks",
 ]
