@@ -98,8 +98,58 @@ def slab_count_sharded(coords, radii, mesh, axis="sp", gx=None,
     return count.astype(jnp.uint32), ok
 
 
+def slab_fill_sharded(coords, radii, capacity, mesh, axis="sp", gx=None,
+                      col_capacity=None, slab_rows=None, rpw=2,
+                      bucket_margin=2.0, interpret=False):
+    """Sharded pair fill over the distributed slab engine.
+
+    Same decomposition as :func:`slab_count_sharded`; each device runs
+    the 2-offset masks kernel + sparse emission over its local plan,
+    global pair slots are assigned by an ``all_gather`` of per-device
+    totals (device-major order == the global sweep order, so the buffer
+    is bit-identical to the single-device slab fill), and the fixed-
+    capacity buffers merge with an all-reduce-min (unwritten slots are
+    0xFFFFFFFF).
+
+    Returns (pairs[capacity, 2] uint32, count, ok), replicated.
+    """
+    n = coords.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(
+            "n ({}) must be divisible by the mesh axis size {}".format(
+                n, n_dev))
+    auto_gx, _, _ = default_slab_config(n, gx=gx)
+    gx = auto_gx if gx is None else gx
+    gx = -(-gx // n_dev) * n_dev
+    if col_capacity is None or slab_rows is None:
+        _, auto_cap, auto_rows = default_slab_config(n, gx=gx)
+        col_capacity = auto_cap if col_capacity is None else col_capacity
+        slab_rows = auto_rows if slab_rows is None else slab_rows
+
+    n_l = n // n_dev
+    gpd = gx // n_dev
+    bucket_cap = int(round_up(
+        int(n_l / max(n_dev, 1) * bucket_margin) + CHUNK, LANE))
+    halo_cap = int(round_up(col_capacity, LANE))
+
+    fn = _make_device_fn(axis, n_dev, n_l, gx, gpd, bucket_cap, halo_cap,
+                         col_capacity, slab_rows, bool(interpret),
+                         capacity=int(capacity), rpw=int(rpw))
+    sharded = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))
+    pairs, count, ok = sharded(jnp.asarray(coords, jnp.float32),
+                               jnp.asarray(radii, jnp.float32))
+    return pairs, count.astype(jnp.uint32), ok
+
+
 def _make_device_fn(axis, n_dev, n_l, gx, gpd, bucket_cap, halo_cap,
-                    col_capacity, slab_rows, interpret):
+                    col_capacity, slab_rows, interpret, capacity=0,
+                    rpw=1):
     zbits = _xbits_z(gx)
     mc = -(-col_capacity // CHUNK)
     merged_len = n_dev * bucket_cap
@@ -201,6 +251,48 @@ def _make_device_fn(axis, n_dev, n_l, gx, gpd, bucket_cap, halo_cap,
             - starts[gpd] // LANE
         ok_local = plan.ok & ok_a2a_local & ok_halo_local \
             & (halo_rows + 2 <= slab_rows)
+
+        if capacity > 0:
+            # --- fill: local masks + sparse emission, global-slot merge
+            from ..fill import NO_PAIR, _mask_fill_emit
+            from ..kernels.slab_sweep import _slab_masks
+
+            B = _slab_masks(plan.stream, plan.starts, plan.slab_r0,
+                            plan.w0, plan.wcap, gpd, mc, slab_rows,
+                            rpw, interpret)
+            pc = jax.lax.population_count(B.reshape(-1))
+            local_total = jnp.sum(pc, dtype=jnp.int32)
+            f_ok = ok_local & (plan.rows_rolled <= rpw) \
+                & (jnp.sum(pc.astype(jnp.float32))
+                   < float(2 ** 31 - 2 ** 26))
+            ids_flat = jax.lax.bitcast_convert_type(
+                plan.stream[:, 6, :], jnp.uint32).reshape(-1)
+            ida_l, idb_l, trunc_safe = _mask_fill_emit(
+                B, plan.starts, plan.w0.reshape(-1), mc, ids_flat,
+                capacity, rpw, local_total, None, noff=2, rolled=True)
+
+            totals = jax.lax.all_gather(local_total, axis)
+            me_i = me.astype(jnp.int32)
+            base = jnp.sum(jnp.where(
+                jnp.arange(n_dev) < me_i, totals, 0), dtype=jnp.int32)
+            total = jnp.sum(totals, dtype=jnp.int32)
+
+            # Device-major slot order == global sweep order: my pairs
+            # own global slots [base, base + local_total).
+            q = jnp.arange(capacity, dtype=jnp.int32)
+            li = q - base
+            mine = (li >= 0) & (li < local_total) & (q < capacity)
+            lic = jnp.clip(li, 0, capacity - 1)
+            ida_g = jnp.where(mine, jnp.take(ida_l, lic), NO_PAIR)
+            idb_g = jnp.where(mine, jnp.take(idb_l, lic), NO_PAIR)
+            pairs = jnp.stack([ida_g, idb_g], axis=1)
+            pairs = jax.lax.pmin(pairs, axis)
+            # A device whose slice was cut off by capacity must have
+            # materialized its full prefix: its local buffer held
+            # capacity slots, so truncation is covered by trunc_safe.
+            ok = jax.lax.psum(
+                (f_ok & trunc_safe).astype(jnp.int32), axis) == n_dev
+            return pairs, jax.lax.psum(local_total, axis), ok
 
         wcap_c = jnp.minimum(plan.wcap, LANE)
         count, count_f = _slab_count(

@@ -39,6 +39,39 @@ def test_sharded_slab_count_parity(n_dev, n, gx, seed):
     assert int(count) == expected
 
 
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_slab_fill_bit_parity(n_dev):
+    # Device-major slot order equals the global sweep order, so the
+    # sharded pair buffer must be bit-identical to the single-device
+    # slab mask fill.
+    from collision_tpu.fill import slab_mask_fill
+    from collision_tpu.parallel.sharded_slabs import slab_fill_sharded
+    from collision_tpu.testing import pair_array_to_set
+
+    rng = np.random.RandomState(23)
+    n, gx, cap = 1024, 8, 1024
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 1.5 / np.sqrt(n), n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+
+    pairs, count, ok = slab_fill_sharded(
+        jnp.asarray(coords), jnp.asarray(radii), cap, _mesh(n_dev),
+        gx=gx, rpw=4, interpret=True)
+    assert bool(ok)
+    assert int(count) == len(expected)
+    assert pair_array_to_set(pairs, count) == expected
+
+    from collision_tpu.slabs import default_slab_config
+
+    _, ccap, crows = default_slab_config(n, gx=gx)
+    ida, idb, tot, sok = slab_mask_fill(
+        jnp.asarray(coords), jnp.asarray(radii), cap, gx, ccap, crows,
+        rpw=4, interpret=True)
+    assert bool(sok) and int(tot) == len(expected)
+    ref = np.stack([np.asarray(ida), np.asarray(idb)], axis=1)
+    assert np.array_equal(np.asarray(pairs), ref)
+
+
 def test_sharded_slab_skewed_scene():
     # All spheres in one octant: most devices own empty slabs, the
     # bucket exchange is maximally unbalanced but capacities detect it.
