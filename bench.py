@@ -37,6 +37,7 @@ def main():
     rounds = int(os.environ.get("BENCH_ROUNDS", 10))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     gx = int(os.environ.get("BENCH_GX", 0)) or None
+    cand = max(1 << 22, 32 * n)  # portable-path candidate bound (CPU runs)
 
     rng = np.random.RandomState(4)
     coords = jnp.asarray(rng.random((n, 3)).astype("float32"))
@@ -52,12 +53,29 @@ def main():
             acc, c = carry
             # The round-3 slab engine (dual-dispatch count: 1-row Pallas
             # sweep + vectorized residual; ok asserted exact below).
-            res = collide(c, radii, 0, method="slab", gx=gx)
+            res = collide(c, radii, 0, method="slab", gx=gx,
+                          cand_capacity=cand)
             eps = (res.count % 2).astype(jnp.float32) * 1e-7 \
                 + res.ok.astype(jnp.float32) * 1e-9
             return acc + res.count, coords + eps
         acc, _ = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), coords))
         return acc
+
+    # Exactness pre-check: the headline must be an ok=True exact count;
+    # if the default slab config's residual capacity trips on this
+    # scene, narrower windows (larger gx) restore it.
+    from collision_tpu import collide as _collide
+    from collision_tpu.slabs import default_slab_config
+
+    if gx is None:
+        gx = default_slab_config(n)[0]
+    for _ in range(3):
+        res = _collide(coords, radii, 0, method="slab", gx=gx,
+                       cand_capacity=cand)
+        if bool(res.ok):
+            break
+        gx = int(gx * 1.5) + 1
+    assert bool(res.ok), "slab count not exact at gx={}".format(gx)
 
     def run(k):
         best = float("inf")

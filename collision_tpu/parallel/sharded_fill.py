@@ -13,9 +13,10 @@ all-reduce-min merges them. Bit-identical to the single-device
 ``run_fill`` for any device count.
 
 Collectives ride ICI via ``shard_map`` over an explicit ``Mesh``.
-Scaling note: the replicated sort is the known next seam (a distributed
-radix partition by column key); at the dryrun scale it is not load-
-bearing.
+Scaling note: this layer still replicates the sort (cheap at its
+portable-pipeline scale); the flagship slab engine's sharding
+(sharded_slabs.py) removes that seam entirely with an all_to_all
+bucket-exchange sort and a one-slab halo ppermute.
 """
 
 import jax
