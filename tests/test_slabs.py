@@ -93,6 +93,23 @@ def test_slab_overflow_detected():
     assert int(plan.max_col) > 64
 
 
+def test_collider_slab_method_retry_exact():
+    # A clustered scene the default slab knobs cannot hold: the Collider
+    # must converge to the exact result via its retry ladder (slab ->
+    # exact-knob column / BVH), never returning a wrong count.
+    from collision_tpu.collider import Collider, interpret_kernels
+
+    rng = np.random.RandomState(31)
+    n = 600
+    coords = (rng.random((n, 3)) * 0.02).astype("float32")  # dense blob
+    radii = rng.uniform(0, 0.01, n).astype("float32")
+    expected = len(brute_force_collisions(coords, radii))
+    with interpret_kernels():
+        coll = Collider(n, method="slab")
+        cnt = coll.get_collisions(coords, radii, 0, collisions=None)
+    assert int(cnt) == expected
+
+
 def test_slab_dual_dispatch_residuals():
     # Windows wider than 128 lanes: the 1-row clamped sweep misses the
     # tail, the residual pass must recover it exactly.
