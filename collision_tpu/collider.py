@@ -79,6 +79,12 @@ class CollisionResult(NamedTuple):
 GRID_AUTO_THRESHOLD = 65536
 COLUMN_AUTO_THRESHOLD = GRID_AUTO_THRESHOLD
 
+#: n at or above which "auto" prefers the slab engine for count-only
+#: steps (measured at 1M on v5e: slab dual-dispatch 9.09 ms vs rolled
+#: column 12.74 ms; provisional between 65k and 262k pending the
+#: crossover sweep — benchmarks/exp_r3_crossover.py).
+SLAB_AUTO_THRESHOLD = 262144
+
 #: When True, the TPU Pallas kernel paths (column sweep / mask fill) run
 #: under the Pallas interpreter on non-TPU backends instead of falling
 #: back to the portable XLA pipelines — lets the CPU test suite exercise
@@ -331,7 +337,8 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
         (LBVH build + lockstep traversal, the reference architecture
         re-designed for XLA), "grid" (round-1 dense uniform-grid
         stencil + Pallas kernels, kept for parity), or "auto" (slab
-        count / column fill for large workloads, BVH otherwise).
+        count-only at n >= SLAB_AUTO_THRESHOLD, column for other large
+        workloads, BVH otherwise).
       grid_dim, cell_capacity: static legacy-grid knobs (see grid.py).
       gxy, col_capacity, slab_rows, rpw: static column-sweep knobs
         (columns.py); None resolves defaults from n at trace time. The
@@ -387,7 +394,10 @@ def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
         cand_capacity = default_cand_capacity(n, capacity)
 
     if method == "auto":
-        method = "column" if n >= COLUMN_AUTO_THRESHOLD else "bvh"
+        if capacity == 0 and n >= SLAB_AUTO_THRESHOLD:
+            method = "slab"
+        else:
+            method = "column" if n >= COLUMN_AUTO_THRESHOLD else "bvh"
     if method == "grid" and capacity > 0 and coords.dtype != jnp.float32:
         # The legacy grid emission kernels read sphere ids back out of
         # f32 bitcast lanes; wider dtypes have no compiled emission path
