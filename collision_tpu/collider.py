@@ -75,15 +75,28 @@ class CollisionResult(NamedTuple):
         return self.count > self.pairs.shape[0]
 
 
-#: n at or above which "auto" prefers the column engine.
+#: Retained for API compatibility; auto routing no longer uses them
+#: (the measured crossover made the column engine the floor at every n).
 GRID_AUTO_THRESHOLD = 65536
 COLUMN_AUTO_THRESHOLD = GRID_AUTO_THRESHOLD
 
 #: n at or above which "auto" prefers the slab engine for count-only
-#: steps (measured at 1M on v5e: slab dual-dispatch 9.09 ms vs rolled
-#: column 12.74 ms; provisional between 65k and 262k pending the
-#: crossover sweep — benchmarks/exp_r3_crossover.py).
-SLAB_AUTO_THRESHOLD = 262144
+#: steps. Measured crossover on v5e (benchmarks/exp_r3_crossover.py,
+#: uniform scenes, ms/step, results_v5e_round3.jsonl):
+#:
+#:     n        slab    column   grid    bvh
+#:     4096     0.052   0.083    0.745   16.4
+#:     16384    3.435*  0.166    0.332   103.2
+#:     65536    0.352   0.512    1.264   475.3
+#:     262144   1.814   4.174    8.483   (seconds)
+#:     1M       9.580   17.369   30.901  (seconds)
+#:
+#: Column is the floor below 65536 (the starred slab row is a measured
+#: small-gx cliff), slab above; BVH — 200-900x off at small n — is never
+#: auto-selected (it remains the f64/robustness anchor and an explicit
+#: method). With this split, auto is within 1.6x of the best engine at
+#: every measured n (VERDICT r2 item 7's <=2x bar).
+SLAB_AUTO_THRESHOLD = 65536
 
 #: When True, the TPU Pallas kernel paths (column sweep / mask fill) run
 #: under the Pallas interpreter on non-TPU backends instead of falling
@@ -337,8 +350,8 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
         (LBVH build + lockstep traversal, the reference architecture
         re-designed for XLA), "grid" (round-1 dense uniform-grid
         stencil + Pallas kernels, kept for parity), or "auto" (slab
-        count-only at n >= SLAB_AUTO_THRESHOLD, column for other large
-        workloads, BVH otherwise).
+        count-only at n >= SLAB_AUTO_THRESHOLD, column for everything
+        else — measured crossover, never BVH).
       grid_dim, cell_capacity: static legacy-grid knobs (see grid.py).
       gxy, col_capacity, slab_rows, rpw: static column-sweep knobs
         (columns.py); None resolves defaults from n at trace time. The
@@ -394,10 +407,13 @@ def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
         cand_capacity = default_cand_capacity(n, capacity)
 
     if method == "auto":
+        # Measured crossover (see SLAB_AUTO_THRESHOLD): slab for large
+        # count-only steps, column everywhere else — never BVH, which is
+        # 200-900x slower at every measured n.
         if capacity == 0 and n >= SLAB_AUTO_THRESHOLD:
             method = "slab"
         else:
-            method = "column" if n >= COLUMN_AUTO_THRESHOLD else "bvh"
+            method = "column"
     if method == "grid" and capacity > 0 and coords.dtype != jnp.float32:
         # The legacy grid emission kernels read sphere ids back out of
         # f32 bitcast lanes; wider dtypes have no compiled emission path

@@ -398,8 +398,144 @@ def _mask_fill_emit(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
             trunc_safe)
 
 
+#: Capacity above which the blocked emission replaces the single-shot
+#: sparse path, whose compaction tables and searchsorted windows are
+#: capacity-sized: a 110M-slot fill would materialize a [capacity, 128]
+#: pyramid window — 56 GB. (Measured OOM on the reference's dense
+#: 107.6M-pair scene, round 3.)
+BIG_FILL_THRESHOLD = 1 << 21
+
+#: Kept-row table bound of the blocked emission (1-D int32 arrays only,
+#: so this can sit far above the single-shot path's [RK, 128] budget).
+_BIG_ROWCAP = 1 << 24
+
+
+def _mask_fill_emit_big(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
+                        total, kcap=None, noff=5, rolled=False,
+                        blk=1 << 19):
+    """Blocked pair emission for huge capacities (dense full fills).
+
+    The single-shot sparse path (:func:`_mask_fill_emit`) materializes
+    capacity-sized word-compaction tables and resolves every output slot
+    against them — [capacity, 128] searchsorted windows and ~5 scalar
+    gathers per pair into capacity-sized tables. Fine at 16k slots;
+    56 GB of intermediates and seconds of gather time at the reference's
+    dense 107.6M-pair scene. This variant keeps every persistent array
+    1-D and resolves slots in ``blk``-sized blocks (``lax.map``):
+
+      row ordinal: one pyramid searchsorted into the kept-row pair
+        cumsum ([RK] table — each kept row holds >= 1 pair);
+      mask row: one wide-row gather straight out of the mask buffer
+        (DMA-shaped 512-byte rows; the [RK, 128] kept-rows tensor never
+        materializes);
+      word + rank: in-row lane cumsum + one-hot select — dense vector
+        ops, no scalar gathers into capacity-sized tables anywhere.
+
+    Exactness does not depend on ``blk``; ``trunc_safe`` reports whether
+    the kept-row cap provably covered ``capacity`` (the level-1 contract
+    of the single-shot path, unchanged). This restores the reference's
+    memory-bound emission cost shape (collision.cl:202-215): per-pair
+    work is a handful of dense vector ops at HBM bandwidth.
+    """
+    from .kernels.sweep import mask_groups
+
+    kg, ng = mask_groups(mc, rpw)
+    kgt = kg * noff * rpw
+
+    Bv = B.reshape(-1, LANE)               # layout-preserving: minor=128
+    Rw = Bv.shape[0]
+    imax = jnp.int32(2 ** 31 - 1)
+
+    pc = jax.lax.population_count(Bv).astype(jnp.int32)
+    row_pairs = jnp.sum(pc, axis=1)                        # [Rw]
+
+    # Level 1 in 1-D form: kept-row indices + their pair cumsum.
+    cap_k = capacity + 8 if kcap is None else kcap
+    RK = max(min(Rw, cap_k, _BIG_ROWCAP), 1)
+    ic_r = inclusive_scan((row_pairs > 0).astype(jnp.int32))
+    nkr = ic_r[-1]
+    ordr = jnp.arange(RK, dtype=jnp.int32)
+    rsel = jnp.minimum(
+        sorted_bucket_starts(ic_r, ordr + 1, strides=_auto_strides(Rw)),
+        Rw - 1)
+    live_r = ordr < nkr
+    csum_rp = inclusive_scan(row_pairs)
+    # Cumulative pairs over *kept* rows == csum over all rows at the kept
+    # positions (dropped rows are empty); dead tail pinned to +inf so the
+    # slot search never lands past the live region.
+    row_cum = jnp.where(live_r, jnp.take(csum_rp, rsel), imax)
+    safe_r = (nkr <= RK) | (jnp.take(csum_rp, rsel[RK - 1]) >= capacity)
+
+    nsort = ids_flat.shape[0]
+    lane_i = jnp.arange(LANE, dtype=jnp.int32)[None, :]
+    lim = jnp.minimum(total, capacity)
+    nblk = -(-capacity // blk)
+    r_strides = _auto_strides(RK)
+
+    def block(b):
+        q = b * blk + jnp.arange(blk, dtype=jnp.int32)
+        r_sel = jnp.minimum(
+            sorted_bucket_starts(row_cum, q + 1, strides=r_strides),
+            RK - 1)
+        R = jnp.take(rsel, r_sel)          # global mask-buffer row
+        rowdata = jnp.take(Bv, R, axis=0)                  # [blk, 128]
+        wpc_r = jax.lax.population_count(rowdata).astype(jnp.int32)
+        lane_cum = jnp.cumsum(wpc_r, axis=1)
+        pb_row = jnp.where(r_sel > 0, jnp.take(row_cum, r_sel - 1), 0)
+        rem = q - pb_row                   # pair rank within the row
+        lane = jnp.sum((lane_cum <= rem[:, None]).astype(jnp.int32),
+                       axis=1)
+        onehot = lane_i == lane[:, None]
+        word = jnp.sum(jnp.where(onehot, rowdata, jnp.uint32(0)),
+                       axis=1, dtype=jnp.uint32)
+        before = jnp.sum(jnp.where(lane_i < lane[:, None], wpc_r, 0),
+                         axis=1, dtype=jnp.int32)
+        rank = jnp.maximum(rem - before, 0)
+        bit = _select_bit(word, rank)
+
+        # --- decode (mask row, lane, bit) -> sorted stream indices ---
+        # (identical arithmetic to _mask_fill_emit's tail)
+        h = R % 2
+        sl = (R // 2) % kgt
+        nb_ = R // (2 * kgt)
+        colg = nb_ // ng
+        g = nb_ % ng
+        kk = sl // (noff * rpw)
+        off = (sl // rpw) % noff
+        r = sl % rpw
+        k = jnp.minimum(g * kg + kk, mc - 1)
+        i = jnp.take(starts, jnp.minimum(colg, starts.shape[0] - 1)) \
+            + k * CHUNK + h * 32 + bit
+        w0u = jnp.take(w0_flat, (colg * mc + k) * noff + off)
+        if rolled:
+            j = w0u + r * LANE + lane
+        else:
+            j = (w0u // LANE + r) * LANE + lane
+        ida = jnp.take(ids_flat, jnp.clip(i, 0, nsort - 1))
+        idb = jnp.take(ids_flat, jnp.clip(j, 0, nsort - 1))
+        live = q < lim
+        return (jnp.where(live, ida, jnp.uint32(NO_PAIR)),
+                jnp.where(live, idb, jnp.uint32(NO_PAIR)))
+
+    ida, idb = jax.lax.map(block, jnp.arange(nblk, dtype=jnp.int32))
+    return (ida.reshape(-1)[:capacity], idb.reshape(-1)[:capacity],
+            safe_r)
+
+
+def _pick_emit(capacity, emit_blk):
+    """Emission path for a static capacity: single-shot sparse below
+    BIG_FILL_THRESHOLD, blocked above; ``emit_blk`` forces the blocked
+    path with that block size (test hook / perf knob)."""
+    if emit_blk is not None:
+        return partial(_mask_fill_emit_big, blk=int(emit_blk))
+    if capacity > BIG_FILL_THRESHOLD:
+        return _mask_fill_emit_big
+    return _mask_fill_emit
+
+
 def mask_fill(coords, radii, capacity, gxy, col_capacity, slab_rows,
-              rpw=2, interpret=False, chunk_blocks=1 << 16, kcap=None):
+              rpw=2, interpret=False, chunk_blocks=1 << 16, kcap=None,
+              emit_blk=None):
     """Gather-free TPU pair enumeration from packed sweep masks.
 
     Returns (ida[capacity], idb[capacity], total, ok) — SoA uint32 pair
@@ -409,19 +545,23 @@ def mask_fill(coords, radii, capacity, gxy, col_capacity, slab_rows,
     ``kcap`` optionally bounds the kept-row/word tables below the
     always-safe ``capacity`` default — a perf knob for huge fills,
     covered by ``ok``. ``chunk_blocks`` is accepted for API
-    compatibility; the sparse emission no longer chunks.
+    compatibility; the sparse emission no longer chunks. Capacities
+    above BIG_FILL_THRESHOLD emit through the blocked big-fill path
+    (``emit_blk`` forces it with a given block size).
     """
     return _mask_fill_impl(
         coords, radii, int(capacity), int(gxy), int(col_capacity),
         int(slab_rows), int(rpw), bool(interpret), int(chunk_blocks),
-        None if kcap is None else int(kcap))
+        None if kcap is None else int(kcap),
+        None if emit_blk is None else int(emit_blk))
 
 
 @partial(jax.jit, static_argnames=(
     "capacity", "gxy", "col_capacity", "slab_rows", "rpw", "interpret",
-    "chunk_blocks", "kcap"))
+    "chunk_blocks", "kcap", "emit_blk"))
 def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
-                    rpw, interpret, chunk_blocks, kcap=None):
+                    rpw, interpret, chunk_blocks, kcap=None,
+                    emit_blk=None):
     from .columns import plan_columns
     from .kernels.sweep import sweep_masks
 
@@ -440,7 +580,8 @@ def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
                 total.astype(jnp.uint32), ok)
     ids_flat = jax.lax.bitcast_convert_type(
         plan.stream[:, 6, :], jnp.uint32).reshape(-1)
-    ida, idb, trunc_safe = _mask_fill_emit(
+    emit = _pick_emit(capacity, emit_blk)
+    ida, idb, trunc_safe = emit(
         B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat, capacity,
         rpw, total, kcap, noff=5, rolled=False)
     return ida, idb, total.astype(jnp.uint32), ok & trunc_safe
@@ -470,26 +611,29 @@ def run_fill(coords, radii, capacity, gxy, cand_capacity, chunk=1 << 20):
 
 
 def slab_mask_fill(coords, radii, capacity, gx, col_capacity, slab_rows,
-                   rpw=1, interpret=False, kcap=None):
+                   rpw=1, interpret=False, kcap=None, emit_blk=None):
     """Sparse-emission pair fill over the slab engine's 2-offset masks.
 
     The slab analog of :func:`mask_fill`: the rolled slab masks kernel
     (kernels/slab_sweep.py slab_sweep_masks) writes ~2/5 the mask words
     of the column kernel, and the same two-level sparse emission decodes
     them (``noff=2``, rolled window rows). Returns
-    (ida[capacity], idb[capacity], total, ok).
+    (ida[capacity], idb[capacity], total, ok). Huge capacities use the
+    blocked big-fill emission, as in :func:`mask_fill`.
     """
     return _slab_mask_fill_impl(
         coords, radii, int(capacity), int(gx), int(col_capacity),
         int(slab_rows), int(rpw), bool(interpret),
-        None if kcap is None else int(kcap))
+        None if kcap is None else int(kcap),
+        None if emit_blk is None else int(emit_blk))
 
 
 @partial(jax.jit, static_argnames=(
     "capacity", "gx", "col_capacity", "slab_rows", "rpw", "interpret",
-    "kcap"))
+    "kcap", "emit_blk"))
 def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
-                         slab_rows, rpw, interpret, kcap=None):
+                         slab_rows, rpw, interpret, kcap=None,
+                         emit_blk=None):
     from .kernels.slab_sweep import slab_sweep_masks
     from .slabs import plan_slabs
 
@@ -506,7 +650,8 @@ def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
                 total.astype(jnp.uint32), ok)
     ids_flat = jax.lax.bitcast_convert_type(
         plan.stream[:, 6, :], jnp.uint32).reshape(-1)
-    ida, idb, trunc_safe = _mask_fill_emit(
+    emit = _pick_emit(capacity, emit_blk)
+    ida, idb, trunc_safe = emit(
         B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat, capacity,
         rpw, total, kcap, noff=2, rolled=True)
     return ida, idb, total.astype(jnp.uint32), ok & trunc_safe

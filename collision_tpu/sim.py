@@ -31,16 +31,17 @@ def simulate(coords, velocities, radii, n_steps, dt=0.01, lo=0.0, hi=1.0,
       lo, hi: axis-aligned box walls; spheres reflect off them.
       capacity: 0 counts collisions per step (the sim-loop benchmark shape);
         > 0 additionally returns the final step's pairs.
-      method: collide engine per step — "auto" (column fast path at
-        scale, BVH otherwise), "slab" (round-3 sparse fast path),
-        "column", "bvh" (always exact) or "grid" (round-1 engine). Static-capacity overflow in any step surfaces
-        via the returned ``ok`` flag.
+      method: collide engine per step — "auto" (measured-crossover
+        routing: slab for large count-only, column otherwise), "slab"
+        (round-3 sparse fast path), "column", "bvh" (always exact) or
+        "grid" (round-1 engine). Static-capacity overflow in any step
+        surfaces via the returned ``ok`` flag.
 
         .. note:: breaking default change in round 2 — ``method`` used
-           to be the always-exact "bvh"; with "auto", steps at
-           n >= 65536 use the column engine with fixed default knobs and
-           no in-scan retry, so clustered scenes can return ``ok=False``
-           (counts under-reported). Callers MUST check ``ok`` — or pass
+           to be the always-exact "bvh"; with "auto", steps use the
+           slab/column engines with fixed default knobs and no in-scan
+           retry, so clustered scenes can return ``ok=False`` (counts
+           under-reported). Callers MUST check ``ok`` — or pass
            ``method="bvh"`` for the old always-exact behavior.
 
     Returns:

@@ -403,3 +403,94 @@ def test_stream_fill_fuzz(seed):
         assert got == expected
     else:
         assert got <= expected and len(got) == k
+
+
+# ---- blocked big-capacity emission (fill._mask_fill_emit_big) ----
+#
+# The single-shot sparse emission materializes capacity-sized tables —
+# a 110M-slot dense fill would allocate [capacity, 128] searchsorted
+# windows (56 GB, measured OOM round 3). Huge capacities route through
+# the blocked emission; these tests force it (emit_blk) on small scenes
+# and pin bit-identical output against the single-shot path.
+
+from collision_tpu.fill import slab_mask_fill  # noqa: E402
+from collision_tpu.slabs import plan_slabs  # noqa: E402
+
+
+def _both_paths(n, seed, gxy, cc, sr, blk, rscale=1.2, cap_extra=9,
+                capacity=None):
+    rng = np.random.RandomState(seed)
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, rscale / np.sqrt(n), n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    cap = capacity if capacity is not None \
+        else max(len(expected) + cap_extra, 16)
+    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii), gxy, cc, sr)
+    assert bool(plan.ok)
+    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_needed))
+    small = mask_fill(jnp.asarray(coords), jnp.asarray(radii), cap, gxy,
+                      cc, sr, rpw=rpw, interpret=True)
+    big = mask_fill(jnp.asarray(coords), jnp.asarray(radii), cap, gxy,
+                    cc, sr, rpw=rpw, interpret=True, emit_blk=blk)
+    return expected, small, big
+
+
+@pytest.mark.parametrize("n,seed,gxy,cc,sr,blk", [
+    (200, 0, 2, 192, 4, 32),
+    (1000, 2, 4, 128, 6, 64),
+    (2000, 3, 4, 640, 8, 128),
+    (600, 9, 2, 512, 8, 7),    # blk not dividing capacity
+])
+def test_big_emit_bit_identical_to_single_shot(n, seed, gxy, cc, sr, blk):
+    expected, small, big = _both_paths(n, seed, gxy, cc, sr, blk)
+    ida_s, idb_s, tot_s, ok_s = small
+    ida_b, idb_b, tot_b, ok_b = big
+    assert bool(ok_s) and bool(ok_b)
+    assert int(tot_s) == int(tot_b) == len(expected)
+    # Same deterministic order (global mask-word order), element for
+    # element — not just set equality.
+    np.testing.assert_array_equal(np.asarray(ida_s), np.asarray(ida_b))
+    np.testing.assert_array_equal(np.asarray(idb_s), np.asarray(idb_b))
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(ida_b)[:int(tot_b)],
+                           np.asarray(idb_b)[:int(tot_b)])}
+    assert got == expected
+
+
+def test_big_emit_past_capacity_prefix():
+    # capacity < total: the true total keeps counting, the materialized
+    # prefix matches the single-shot path exactly.
+    expected, small, big = _both_paths(1000, 2, 4, 128, 6, 16, capacity=32)
+    ida_s, idb_s, tot_s, ok_s = small
+    ida_b, idb_b, tot_b, ok_b = big
+    assert int(tot_s) == int(tot_b) == len(expected) > 32
+    np.testing.assert_array_equal(np.asarray(ida_s), np.asarray(ida_b))
+    np.testing.assert_array_equal(np.asarray(idb_s), np.asarray(idb_b))
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(ida_b), np.asarray(idb_b))}
+    assert got <= expected and len(got) == 32
+
+
+def test_big_emit_slab_parity():
+    rng = np.random.RandomState(11)
+    n = 1200
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 1.2 / np.sqrt(n), n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    gx, cc, sr = 4, 448, 9
+    plan = plan_slabs(jnp.asarray(coords), jnp.asarray(radii), gx, cc, sr)
+    assert bool(plan.ok)
+    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_rolled))
+    cap = len(expected) + 5
+    sm = slab_mask_fill(jnp.asarray(coords), jnp.asarray(radii), cap,
+                        gx, cc, sr, rpw=rpw, interpret=True)
+    bg = slab_mask_fill(jnp.asarray(coords), jnp.asarray(radii), cap,
+                        gx, cc, sr, rpw=rpw, interpret=True, emit_blk=96)
+    assert int(sm[2]) == int(bg[2]) == len(expected)
+    assert bool(sm[3]) and bool(bg[3])
+    np.testing.assert_array_equal(np.asarray(sm[0]), np.asarray(bg[0]))
+    np.testing.assert_array_equal(np.asarray(sm[1]), np.asarray(bg[1]))
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(bg[0])[:len(expected)],
+                           np.asarray(bg[1])[:len(expected)])}
+    assert got == expected
