@@ -405,9 +405,11 @@ def _mask_fill_emit(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
 #: 107.6M-pair scene, round 3.)
 BIG_FILL_THRESHOLD = 1 << 21
 
-#: Kept-row table bound of the blocked emission (1-D int32 arrays only,
-#: so this can sit far above the single-shot path's [RK, 128] budget).
-_BIG_ROWCAP = 1 << 24
+#: Above this many mask-buffer rows the wide interleaved fetch table
+#: ([Rw, 384] u32) would exceed a few GB of HBM; the big path then falls
+#: back to per-slot flat gathers for the id lookups (slower, same
+#: result).
+_WIDE_ROWS_CAP = 1 << 23
 
 
 def _mask_fill_emit_big(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
@@ -416,26 +418,35 @@ def _mask_fill_emit_big(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
     """Blocked pair emission for huge capacities (dense full fills).
 
     The single-shot sparse path (:func:`_mask_fill_emit`) materializes
-    capacity-sized word-compaction tables and resolves every output slot
-    against them — [capacity, 128] searchsorted windows and ~5 scalar
-    gathers per pair into capacity-sized tables. Fine at 16k slots;
-    56 GB of intermediates and seconds of gather time at the reference's
-    dense 107.6M-pair scene. This variant keeps every persistent array
-    1-D and resolves slots in ``blk``-sized blocks (``lax.map``):
+    capacity-sized compaction tables and [capacity, 128] searchsorted
+    windows — 56 GB at the reference's dense 107.6M-pair scene (measured
+    OOM). This path is built from the measured v5e primitive costs
+    (benchmarks/exp_r3_gatherprims.py): scalar gathers are ~7 ns/element
+    at ANY table size, while wide-row gathers, dynamic slices and dense
+    [blk, 128] vector ops run at or near HBM bandwidth. Consequently:
 
-      row ordinal: one pyramid searchsorted into the kept-row pair
-        cumsum ([RK] table — each kept row holds >= 1 pair);
-      mask row: one wide-row gather straight out of the mask buffer
-        (DMA-shaped 512-byte rows; the [RK, 128] kept-rows tensor never
-        materializes);
-      word + rank: in-row lane cumsum + one-hot select — dense vector
-        ops, no scalar gathers into capacity-sized tables anywhere.
+      slot -> row: precomputed ONCE by run-expansion — scatter each
+        nonzero mask row's index at its first output slot (strictly
+        increasing positions, ``drop`` mode past capacity), then a
+        cummax forward-fills; likewise the row's starting pair index.
+        Per block these are free contiguous slices — no per-slot
+        searchsorted, no per-slot gathers for the row lookup.
+      per-slot fetch: ONE wide interleaved row gather from
+        F = [mask words 128 | window ids 128 | chunk ids 64] (u32),
+        1.5 KB rows at DMA-class speed. Both original sphere ids are
+        resolved from the fetched row with one-hot selects — the id
+        tables are pre-gathered per mask row (cheap: one aligned
+        row-gather + one chunk-table gather at plan scale), so NO
+        per-slot scalar gather remains anywhere on the aligned path.
+      word + rank: in-row lane cumsum + one-hot select + 5-round
+        popcount rank-select — dense vector ops.
 
-    Exactness does not depend on ``blk``; ``trunc_safe`` reports whether
-    the kept-row cap provably covered ``capacity`` (the level-1 contract
-    of the single-shot path, unchanged). This restores the reference's
-    memory-bound emission cost shape (collision.cl:202-215): per-pair
-    work is a handful of dense vector ops at HBM bandwidth.
+    The rolled (slab) mask layout has unaligned window starts, so its
+    window-id lanes cannot be pre-gathered as aligned rows; that variant
+    keeps two per-slot flat gathers (~14 ns/pair) — the slab engine is
+    not the dense-fill workhorse. Exactness does not depend on ``blk``
+    or any cap: this path has no truncation (``trunc_safe`` is always
+    True); ``kcap`` is accepted for API compatibility and ignored.
     """
     from .kernels.sweep import mask_groups
 
@@ -444,82 +455,123 @@ def _mask_fill_emit_big(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
 
     Bv = B.reshape(-1, LANE)               # layout-preserving: minor=128
     Rw = Bv.shape[0]
-    imax = jnp.int32(2 ** 31 - 1)
+    nsort = ids_flat.shape[0]
 
     pc = jax.lax.population_count(Bv).astype(jnp.int32)
     row_pairs = jnp.sum(pc, axis=1)                        # [Rw]
-
-    # Level 1 in 1-D form: kept-row indices + their pair cumsum.
-    cap_k = capacity + 8 if kcap is None else kcap
-    RK = max(min(Rw, cap_k, _BIG_ROWCAP), 1)
-    ic_r = inclusive_scan((row_pairs > 0).astype(jnp.int32))
-    nkr = ic_r[-1]
-    ordr = jnp.arange(RK, dtype=jnp.int32)
-    rsel = jnp.minimum(
-        sorted_bucket_starts(ic_r, ordr + 1, strides=_auto_strides(Rw)),
-        Rw - 1)
-    live_r = ordr < nkr
     csum_rp = inclusive_scan(row_pairs)
-    # Cumulative pairs over *kept* rows == csum over all rows at the kept
-    # positions (dropped rows are empty); dead tail pinned to +inf so the
-    # slot search never lands past the live region.
-    row_cum = jnp.where(live_r, jnp.take(csum_rp, rsel), imax)
-    safe_r = (nkr <= RK) | (jnp.take(csum_rp, rsel[RK - 1]) >= capacity)
+    start_r = csum_rp - row_pairs          # exclusive per-row pair base
 
-    nsort = ids_flat.shape[0]
-    lane_i = jnp.arange(LANE, dtype=jnp.int32)[None, :]
-    lim = jnp.minimum(total, capacity)
     nblk = -(-capacity // blk)
-    r_strides = _auto_strides(RK)
+    capn = nblk * blk
+
+    # --- run-expansion: slot -> (mask row, row pair base), built once.
+    # Nonzero rows have strictly increasing start_r, so the scatters are
+    # collision-free; rows starting past the buffer are dropped.
+    nz = row_pairs > 0
+    pos = jnp.where(nz, jnp.minimum(start_r, capn), capn)
+    ridx = jnp.arange(Rw, dtype=jnp.int32)
+    R_of = jnp.zeros((capn,), jnp.int32).at[pos].max(
+        ridx + 1, mode="drop")
+    R_of = jnp.maximum(jax.lax.cummax(R_of, axis=0) - 1, 0)
+    pb_of = jnp.zeros((capn,), jnp.int32).at[pos].max(
+        start_r + 1, mode="drop")
+    pb_of = jnp.maximum(jax.lax.cummax(pb_of, axis=0) - 1, 0)
+
+    # --- per-mask-row decode constants (dense arithmetic over [Rw]).
+    sl = (ridx // 2) % kgt
+    nb_ = ridx // (2 * kgt)
+    colg = nb_ // ng
+    g = nb_ % ng
+    kk = sl // (noff * rpw)
+    off = (sl // rpw) % noff
+    r_in = sl % rpw
+    k_row = jnp.minimum(g * kg + kk, mc - 1)
+    cbase = jnp.take(starts, jnp.minimum(colg, starts.shape[0] - 1)) \
+        + k_row * CHUNK                    # chunk start (sorted space)
+    w0u = jnp.take(w0_flat, (colg * mc + k_row) * noff + off)
+    if rolled:
+        w0r = w0u + r_in * LANE            # unaligned window row start
+    else:
+        w0r = (w0u // LANE + r_in) * LANE  # 128-aligned by construction
+
+    wide = (not rolled) and Rw <= _WIDE_ROWS_CAP
+    if wide:
+        # Chunk-id table: each (column-group, chunk) slot's 64 original
+        # ids, gathered once at ~plan scale (not per mask row).
+        NC = max(Rw // (2 * kgt * ng), 1)
+        cg_grid = jnp.arange(NC, dtype=jnp.int32)
+        k_grid = jnp.arange(mc, dtype=jnp.int32)
+        g0 = (jnp.take(starts, jnp.minimum(cg_grid, starts.shape[0] - 1))
+              [:, None] + k_grid[None, :] * CHUNK)          # [NC, mc]
+        sub64 = jnp.arange(CHUNK, dtype=jnp.int32)
+        A = jnp.take(
+            ids_flat,
+            jnp.clip(g0[..., None] + sub64, 0, nsort - 1)
+        ).reshape(NC * mc, CHUNK)                           # [NC*mc, 64]
+
+        # Window-id rows: 128 consecutive sorted-order ids per mask row
+        # (aligned -> one wide row-gather from the padded id grid).
+        idp = -(-nsort // LANE) * LANE
+        ids2d = jnp.full((idp,), jnp.uint32(0)).at[:nsort].set(
+            ids_flat).reshape(-1, LANE)
+        wrow = jnp.clip(w0r // LANE, 0, ids2d.shape[0] - 1)
+        Fb = jnp.take(ids2d, wrow, axis=0)                  # [Rw, 128]
+        Fa = jnp.take(A, jnp.minimum(colg * mc + k_row, NC * mc - 1),
+                      axis=0)                               # [Rw, 64]
+        F = jnp.concatenate(
+            [Bv, Fb, Fa], axis=1)                           # [Rw, 320]
+
+    lane_i = jnp.arange(LANE, dtype=jnp.int32)[None, :]
+    sub_i = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    lim = jnp.minimum(total, capacity)
 
     def block(b):
-        q = b * blk + jnp.arange(blk, dtype=jnp.int32)
-        r_sel = jnp.minimum(
-            sorted_bucket_starts(row_cum, q + 1, strides=r_strides),
-            RK - 1)
-        R = jnp.take(rsel, r_sel)          # global mask-buffer row
-        rowdata = jnp.take(Bv, R, axis=0)                  # [blk, 128]
-        wpc_r = jax.lax.population_count(rowdata).astype(jnp.int32)
+        q0 = b * blk
+        q = q0 + jnp.arange(blk, dtype=jnp.int32)
+        R = jax.lax.dynamic_slice(R_of, (q0,), (blk,))
+        pb = jax.lax.dynamic_slice(pb_of, (q0,), (blk,))
+        rem = q - pb                       # pair rank within the row
+
+        if wide:
+            Frow = jnp.take(F, R, axis=0)                  # [blk, 320]
+            m = Frow[:, :LANE]
+        else:
+            m = jnp.take(Bv, R, axis=0)                    # [blk, 128]
+        wpc_r = jax.lax.population_count(m).astype(jnp.int32)
         lane_cum = jnp.cumsum(wpc_r, axis=1)
-        pb_row = jnp.where(r_sel > 0, jnp.take(row_cum, r_sel - 1), 0)
-        rem = q - pb_row                   # pair rank within the row
         lane = jnp.sum((lane_cum <= rem[:, None]).astype(jnp.int32),
                        axis=1)
         onehot = lane_i == lane[:, None]
-        word = jnp.sum(jnp.where(onehot, rowdata, jnp.uint32(0)),
+        word = jnp.sum(jnp.where(onehot, m, jnp.uint32(0)),
                        axis=1, dtype=jnp.uint32)
         before = jnp.sum(jnp.where(lane_i < lane[:, None], wpc_r, 0),
                          axis=1, dtype=jnp.int32)
         rank = jnp.maximum(rem - before, 0)
         bit = _select_bit(word, rank)
+        sub = (R % 2) * 32 + bit           # h * 32 + bit, h = row parity
 
-        # --- decode (mask row, lane, bit) -> sorted stream indices ---
-        # (identical arithmetic to _mask_fill_emit's tail)
-        h = R % 2
-        sl = (R // 2) % kgt
-        nb_ = R // (2 * kgt)
-        colg = nb_ // ng
-        g = nb_ % ng
-        kk = sl // (noff * rpw)
-        off = (sl // rpw) % noff
-        r = sl % rpw
-        k = jnp.minimum(g * kg + kk, mc - 1)
-        i = jnp.take(starts, jnp.minimum(colg, starts.shape[0] - 1)) \
-            + k * CHUNK + h * 32 + bit
-        w0u = jnp.take(w0_flat, (colg * mc + k) * noff + off)
-        if rolled:
-            j = w0u + r * LANE + lane
+        if wide:
+            idb = jnp.sum(
+                jnp.where(onehot, Frow[:, LANE:2 * LANE], jnp.uint32(0)),
+                axis=1, dtype=jnp.uint32)
+            ida = jnp.sum(
+                jnp.where(sub_i == sub[:, None],
+                          Frow[:, 2 * LANE:2 * LANE + CHUNK],
+                          jnp.uint32(0)),
+                axis=1, dtype=jnp.uint32)
         else:
-            j = (w0u // LANE + r) * LANE + lane
-        ida = jnp.take(ids_flat, jnp.clip(i, 0, nsort - 1))
-        idb = jnp.take(ids_flat, jnp.clip(j, 0, nsort - 1))
+            i = jnp.take(cbase, R) + sub
+            j = jnp.take(w0r, R) + lane
+            ida = jnp.take(ids_flat, jnp.clip(i, 0, nsort - 1))
+            idb = jnp.take(ids_flat, jnp.clip(j, 0, nsort - 1))
         live = q < lim
         return (jnp.where(live, ida, jnp.uint32(NO_PAIR)),
                 jnp.where(live, idb, jnp.uint32(NO_PAIR)))
 
     ida, idb = jax.lax.map(block, jnp.arange(nblk, dtype=jnp.int32))
     return (ida.reshape(-1)[:capacity], idb.reshape(-1)[:capacity],
-            safe_r)
+            jnp.bool_(True))
 
 
 def _pick_emit(capacity, emit_blk):

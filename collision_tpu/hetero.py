@@ -36,9 +36,11 @@ from .columns import CHUNK, LANE, default_column_config, plan_columns
 NO_PAIR = np.uint32(0xFFFFFFFF)
 
 #: Default big-set size: enough that the small class's r_max drops to
-#: the ~99.8th percentile radius at 1M spheres, small enough that the
-#: dense B-vs-stream pass stays a minor cost.
-DEFAULT_NB = 2048
+#: the ~99.9th percentile radius at 1M spheres, small enough that the
+#: dense B-vs-stream pass stays a minor cost. Measured count-step sweep
+#: at 1M power-law on v5e (benchmarks/exp_r3_hetero_nb.py): nb=1024
+#: 22.3 ms vs 23.6/25.1/28.5 at 256/512/2048.
+DEFAULT_NB = 1024
 
 
 def default_nb(n):
@@ -71,12 +73,13 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
     """One heterogeneous-radii broad-phase step.
 
     Returns (pairs[capacity, 2] | None, total u32, ok bool). Pair order:
-    S-S pairs (column sweep order), then B-S, then B-B — deterministic.
+    S-S pairs (mask-word order, as mask_fill), then B-S, then B-B —
+    deterministic.
     """
+    from .fill import _pick_emit
     from .kernels.bigpass import big_pairs
     from .kernels.compact import compact_mask
-    from .kernels.stream_emit import stream_fill_pairs
-    from .kernels.sweep import sweep_count_guarded
+    from .kernels.sweep import sweep_count_guarded, sweep_masks
 
     coords = jnp.asarray(coords, jnp.float32)
     radii = jnp.asarray(radii, jnp.float32)
@@ -126,8 +129,22 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
         return None, total, sok & ovf_s & ovf_bs
 
     # --- fills ---
-    sa, sb, tot_s, ovf_s = stream_fill_pairs(
-        plan, capacity, rpw=rpw, interpret=interpret)
+    # S-S through the sparse mask emission (round-3 fast fill path; the
+    # streaming cursor kernel's per-window sync made it 2.3x slower at
+    # 1M — design.md). Masks need the aligned-row bound rows_needed,
+    # not the rolled one; the difference folds into ok.
+    B = sweep_masks(plan, rpw=rpw, interpret=interpret)
+    pcm = jax.lax.population_count(B.reshape(-1))
+    tot_s_i = jnp.sum(pcm, dtype=jnp.int32)
+    ovf_s = (plan.rows_needed <= rpw) \
+        & (jnp.sum(pcm.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
+    ids_flat = jax.lax.bitcast_convert_type(
+        plan.stream[:, 6, :], jnp.uint32).reshape(-1)
+    sa, sb, emit_safe = _pick_emit(capacity, None)(
+        B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat,
+        capacity, rpw, tot_s_i, None, noff=5, rolled=False)
+    ovf_s &= emit_safe
+    tot_s = tot_s_i.astype(jnp.uint32)
     bsa, bsb, tot_bs, ovf_bs = big_pairs(
         bigs_t, plan.stream, capacity, interpret=interpret)
 

@@ -58,26 +58,58 @@ def _make_big_kernel(nbc, rb, capacity, direct):
         lane_i = emitter.lane_i
         sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
+        def tile_mask(aT, b8):
+            m = (aT[:, 3:4] > b8[0:1, :]) & (aT[:, 0:1] < b8[3:4, :])
+            m &= (aT[:, 4:5] > b8[1:2, :]) & (aT[:, 1:2] < b8[4:5, :])
+            m &= (aT[:, 5:6] > b8[2:3, :]) & (aT[:, 2:3] < b8[5:6, :])
+            return m
+
+        # Per-ROW gating, not per-tile: the per-tile scalar reduction
+        # (cnt = sum(m)) serializes the pipeline — the same measured
+        # cost that capped the streaming fill (design.md "Streaming
+        # emission and the per-window sync cost"). One vector-OR
+        # accumulator per row collapses nbc scalar syncs into one, and
+        # the (rare) rows with hits recompute their masks on the slow
+        # path.
         def r_body(r, acc):
             b8 = stream_ref[0, r]                      # [8, 128]
-            for c in range(nbc):
-                aT = bigs_ref[c]                       # [64, 8]
-                m = (aT[:, 3:4] > b8[0:1, :]) & (aT[:, 0:1] < b8[3:4, :])
-                m &= (aT[:, 4:5] > b8[1:2, :]) & (aT[:, 1:2] < b8[4:5, :])
-                m &= (aT[:, 5:6] > b8[2:3, :]) & (aT[:, 2:3] < b8[5:6, :])
-                cnt = jnp.sum(m, dtype=jnp.int32)
-                acc = (acc[0] + cnt, acc[1] + cnt.astype(jnp.float32))
-                a_ids = jax.lax.bitcast_convert_type(
-                    aT[:, 6:7], jnp.int32)
+            m_or = tile_mask(bigs_ref[0], b8)
+            if nbc <= 32:
+                for c in range(1, nbc):
+                    m_or |= tile_mask(bigs_ref[c], b8)
+            else:
+                m_or = jax.lax.fori_loop(
+                    1, nbc,
+                    lambda c, m: m | tile_mask(bigs_ref[c], b8), m_or)
+            row_cnt = jnp.sum(m_or, dtype=jnp.int32)   # 1 sync per row
+
+            @pl.when(row_cnt > 0)
+            def _extract_row():
                 b_ids = jax.lax.bitcast_convert_type(
                     b8[6:7, :], jnp.int32)
 
-                @pl.when(cnt > 0)
-                def _extract():
-                    W0 = pack_mask_words(m)
-                    trip = jnp.clip(emitter.remaining(), 0, cnt)
-                    extract_hits(W0, trip, emitter, a_ids, b_ids,
-                                 lane_i, sub_c)
+                def chunk_extract(c, carry):
+                    aT = bigs_ref[c]
+                    m = tile_mask(aT, b8)
+                    cnt = jnp.sum(m, dtype=jnp.int32)
+                    a_ids = jax.lax.bitcast_convert_type(
+                        aT[:, 6:7], jnp.int32)
+
+                    @pl.when(cnt > 0)
+                    def _extract():
+                        W0 = pack_mask_words(m)
+                        trip = jnp.clip(emitter.remaining(), 0, cnt)
+                        extract_hits(W0, trip, emitter, a_ids, b_ids,
+                                     lane_i, sub_c)
+                    cur[2] = cur[2] + cnt
+                    curf[0] = curf[0] + cnt.astype(jnp.float32)
+                    return carry
+
+                if nbc <= 32:
+                    for c in range(nbc):
+                        chunk_extract(c, 0)
+                else:
+                    jax.lax.fori_loop(0, nbc, chunk_extract, 0)
             return acc
 
         acc = jax.lax.fori_loop(
@@ -164,11 +196,96 @@ def big_pairs(bigs_t, stream, capacity, interpret=False):
     return ida, idb, total_u, no_ovf
 
 
+def _make_big_count_kernel(nbc, rb, unroll):
+    def kernel(bigs_ref, stream_ref, total_ref, totf_ref, cur, curf):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            cur[0] = 0
+            curf[0] = 0.0
+
+        def tile_mask(aT, b8):
+            m = (aT[:, 3:4] > b8[0:1, :]) & (aT[:, 0:1] < b8[3:4, :])
+            m &= (aT[:, 4:5] > b8[1:2, :]) & (aT[:, 1:2] < b8[4:5, :])
+            m &= (aT[:, 5:6] > b8[2:3, :]) & (aT[:, 2:3] < b8[5:6, :])
+            return m
+
+        def r_body(g, acc):
+            for u in range(unroll):
+                b8 = stream_ref[0, g * unroll + u]
+                if nbc <= 32:
+                    for c in range(nbc):
+                        acc += tile_mask(bigs_ref[c], b8).astype(
+                            jnp.int32)
+                else:
+                    # Static unrolling keeps nbc mask temporaries live on
+                    # the Mosaic stack (measured 16.7M scoped VMEM at
+                    # nbc=128, 16M limit); big sets loop dynamically.
+                    def c_body(c, a):
+                        return a + tile_mask(bigs_ref[c], b8).astype(
+                            jnp.int32)
+                    acc = jax.lax.fori_loop(0, nbc, c_body, acc)
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, rb // unroll, r_body,
+            jnp.zeros((CHUNK, LANE), jnp.int32))
+        # Per-step partial <= rb * nbc * 64 * 128 hits — far below 2^31,
+        # so the int32 vector accumulator is exact per step; the f32
+        # SMEM accumulator is the cross-step anti-wrap guard (2^26
+        # margin, as in kernels/sweep.py).
+        s = jnp.sum(acc, dtype=jnp.int32)
+        cur[0] = cur[0] + s
+        curf[0] = curf[0] + s.astype(jnp.float32)
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _finish():
+            total_ref[0] = cur[0]
+            totf_ref[0] = curf[0]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
 def big_count_only(bigs_t, stream, interpret=False):
-    """Count-only variant: (total u32, no_overflow). Runs the same
-    kernel with a minimal buffer — the first 2048 pairs pay the (cheap)
-    extraction loop, the rest only the dense sweep, which dominates
-    either way."""
-    _, _, total, no_ovf = big_pairs(
-        bigs_t, stream, 2 * _FLUSH, interpret=interpret)
-    return total, no_ovf
+    """Count-only variant: (total u32, no_overflow).
+
+    A dedicated dense kernel with a vector accumulator — no extraction
+    loop and no per-tile scalar reduction (the per-tile sync measured
+    ~84 ms at nb=2048 x 1M on v5e; unguarded register accumulation is
+    the count-sweep lesson, design.md "Count sweep below 15 ms")."""
+    nbc = bigs_t.shape[0]
+    rp = stream.shape[0]
+    nblk = -(-rp // _RB)
+    if nblk * _RB != rp:
+        pad = jnp.full((nblk * _RB - rp, 8, LANE), jnp.inf, jnp.float32)
+        stream = jnp.concatenate([stream, pad], axis=0)
+
+    # Unroll scales inversely with the big-chunk count: unroll x nbc
+    # [64, 128] mask temporaries live on the Mosaic stack, and nbc=128
+    # at unroll 4 measured a 17.6M scoped-VMEM overflow (16M limit).
+    unroll = 4 if nbc <= 32 else (2 if nbc <= 64 else 1)
+    kernel = _make_big_count_kernel(nbc, _RB, unroll)
+    total, totf = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # bigs
+            pl.BlockSpec((1, _RB, 8, LANE), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),             # stream
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.float32)],
+        interpret=interpret,
+    )(bigs_t, stream.reshape(1, nblk * _RB, 8, LANE))
+    no_ovf = totf[0] < float(2 ** 31 - 2 ** 26)
+    return total[0].astype(jnp.uint32), no_ovf

@@ -91,9 +91,15 @@ def test_overflow_contract():
     expected = brute_force_collisions(coords, radii)
     assert len(expected) > 10
     cap = len(expected) // 2
-    pairs, total, ok = hetero_collide(
-        jnp.asarray(coords), jnp.asarray(radii), cap, nb=64,
-        interpret=True)
+    # The S-S mask fill needs the aligned-row bound (rows_needed), so
+    # escalate rpw like any real caller until the engine reports ok.
+    pairs = total = ok = None
+    for rpw in (1, 2, 4, 8, 16):
+        pairs, total, ok = hetero_collide(
+            jnp.asarray(coords), jnp.asarray(radii), cap, nb=64,
+            rpw=rpw, interpret=True)
+        if bool(ok):
+            break
     assert bool(ok)
     assert int(total) == len(expected)
     got = {(min(a, b), max(a, b)) for a, b in np.asarray(pairs)[:cap]}

@@ -32,8 +32,10 @@ def test_sharded_parity(n_dev):
     assert int(res.count) == len(expected)
     assert pair_array_to_set(res.pairs, res.count) == expected
 
-    # Bit-identical buffers vs the single-device pipeline.
-    ref = collide(coords, radii, len(expected) + 8)
+    # Bit-identical buffers vs the single-device pipeline of the engine
+    # this path shards (BVH; "auto" now routes small n to the column
+    # engine, whose deterministic order differs while the set matches).
+    ref = collide(coords, radii, len(expected) + 8, method="bvh")
     assert np.array_equal(np.asarray(res.pairs), np.asarray(ref.pairs))
 
 
