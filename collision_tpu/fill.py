@@ -519,12 +519,22 @@ def _mask_fill_emit_big(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
         Fb = jnp.take(ids2d, wrow, axis=0)                  # [Rw, 128]
         Fa = jnp.take(A, jnp.minimum(colg * mc + k_row, NC * mc - 1),
                       axis=0)                               # [Rw, 64]
+        # Pad to 3 full 128-lane tiles: 320-lane rows straddle tile
+        # boundaries and gathered ~28% slower.
         F = jnp.concatenate(
-            [Bv, Fb, Fa], axis=1)                           # [Rw, 320]
+            [Bv, Fb, Fa,
+             jnp.zeros((Rw, 2 * LANE - CHUNK), jnp.uint32)],
+            axis=1)                                         # [Rw, 384]
 
     lane_i = jnp.arange(LANE, dtype=jnp.int32)[None, :]
     sub_i = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
     lim = jnp.minimum(total, capacity)
+    # Lane prefix-sum as an MXU matmul: XLA lowers cumsum(axis=1) to a
+    # 128-wide reduce_window (O(window) work per element — measured
+    # 12.6 ms/block vs 0.8 ms standalone), while [blk,128] x [128,128]
+    # rides the idle MXU. Word popcounts <= 32 and row sums <= 4096 are
+    # exact in f32.
+    tri = jnp.triu(jnp.ones((LANE, LANE), jnp.float32))
 
     def block(b):
         q0 = b * blk
@@ -539,7 +549,9 @@ def _mask_fill_emit_big(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
         else:
             m = jnp.take(Bv, R, axis=0)                    # [blk, 128]
         wpc_r = jax.lax.population_count(m).astype(jnp.int32)
-        lane_cum = jnp.cumsum(wpc_r, axis=1)
+        lane_cum = jax.lax.dot(
+            wpc_r.astype(jnp.float32), tri,
+            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
         lane = jnp.sum((lane_cum <= rem[:, None]).astype(jnp.int32),
                        axis=1)
         onehot = lane_i == lane[:, None]
