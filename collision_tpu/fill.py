@@ -586,20 +586,104 @@ def _mask_fill_emit_big(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
             jnp.bool_(True))
 
 
-def _pick_emit(capacity, emit_blk):
-    """Emission path for a static capacity: single-shot sparse below
-    BIG_FILL_THRESHOLD, blocked above; ``emit_blk`` forces the blocked
-    path with that block size (test hook / perf knob)."""
+#: Largest sorted-id array the in-kernel emission keeps VMEM-resident
+#: (as [n/128, 128] i32 rows): 6 MB = 1.5M spheres, leaving room for the
+#: double-buffered 2 MB mask blocks and the staging ring.
+KERNEL_EMIT_MAX_IDS = 3 * (1 << 19)
+
+
+def _mask_fill_emit_pallas(B, starts, w0_flat, mc, ids_flat, capacity,
+                           rpw, total, kcap=None, noff=5, rolled=False,
+                           interpret=False, mxu=False, nostore=False):
+    """In-kernel pair emission (kernels/pair_emit.py): each mask row is
+    streamed once and its pairs leave through a carried-cursor staging
+    ring at ~vector-op cost per pair — the TPU restoration of the
+    reference's memory-bound atomic-cursor emission
+    (collision.cl:202-215). Exact at any capacity (no truncation knob:
+    ``trunc_safe`` is always True); ``kcap`` accepted and ignored.
+
+    The per-row scalar tables (flat sorted window start / chunk start
+    per mask row group) are pure reshapes and broadcasts of the plan's
+    window table — no gathers anywhere in the pipeline.
+    """
+    from .kernels.pair_emit import emit_pairs
+    from .kernels.sweep import mask_groups
+
+    kg, ng = mask_groups(mc, rpw)
+    kgt = kg * noff * rpw
+    NB = B.shape[0]
+    ncols = NB // ng
+    B3 = B.reshape(NB, 2 * kgt, LANE)
+
+    w3 = jnp.asarray(w0_flat, jnp.int32).reshape(ncols, mc, noff)
+    pad = kg * ng - mc
+    if pad:
+        w3 = jnp.concatenate(
+            [w3, jnp.broadcast_to(w3[:, -1:, :], (ncols, pad, noff))], 1)
+    w4 = w3.reshape(NB, kg, noff, 1)
+    r_i = jnp.arange(rpw, dtype=jnp.int32)
+    if rolled:
+        wstart = w4 + r_i * LANE
+    else:
+        wstart = (w4 // LANE + r_i) * LANE
+    wstart_tab = wstart.reshape(NB, kgt)
+
+    k_tab = jnp.minimum(
+        jnp.arange(ng, dtype=jnp.int32)[:, None] * kg
+        + jnp.arange(kg, dtype=jnp.int32)[None, :], mc - 1)  # [ng, kg]
+    cb3 = jnp.asarray(starts[:ncols], jnp.int32)[:, None, None] \
+        + k_tab[None] * CHUNK                                # [ncols,ng,kg]
+    cb_tab = jnp.broadcast_to(
+        cb3.reshape(NB, kg, 1), (NB, kg, noff * rpw)).reshape(NB, kgt)
+
+    ida, idb = emit_pairs(B3, wstart_tab, cb_tab, ids_flat, capacity,
+                          interpret=interpret, mxu=mxu, nostore=nostore)
+    q = jnp.arange(capacity, dtype=jnp.int32)
+    live = q < jnp.minimum(total, capacity)
+    return (jnp.where(live, ida, jnp.uint32(NO_PAIR)),
+            jnp.where(live, idb, jnp.uint32(NO_PAIR)),
+            jnp.bool_(True))
+
+
+def _pick_emit(capacity, emit_blk, nsort, interpret, emit_mode=None):
+    """Emission path for a static capacity.
+
+    Auto routing: single-shot sparse compaction below
+    BIG_FILL_THRESHOLD (mask rows are mostly empty on small-capacity
+    realistic scenes); the in-kernel streaming emission above it (dense
+    full fills — measured 44 ns/pair for the blocked XLA path vs
+    vector-op cost in-kernel) whenever the sorted-id table fits VMEM;
+    the blocked XLA path otherwise. ``emit_blk`` forces the blocked
+    path with that block size; ``emit_mode`` forces a path by name
+    ("sparse" | "big" | "kernel") — both test hooks / perf knobs.
+    """
+    if emit_mode == "kernel":
+        return partial(_mask_fill_emit_pallas, interpret=interpret)
+    if emit_mode == "kernel_mxu":
+        return partial(_mask_fill_emit_pallas, interpret=interpret,
+                       mxu=True)
+    if emit_mode == "kernel_nostore":
+        return partial(_mask_fill_emit_pallas, interpret=interpret,
+                       nostore=True)
+    if emit_mode == "kernel_mxu_nostore":
+        return partial(_mask_fill_emit_pallas, interpret=interpret,
+                       mxu=True, nostore=True)
+    if emit_mode == "sparse":
+        return _mask_fill_emit
+    if emit_mode == "big":
+        return _mask_fill_emit_big
     if emit_blk is not None:
         return partial(_mask_fill_emit_big, blk=int(emit_blk))
     if capacity > BIG_FILL_THRESHOLD:
+        if nsort <= KERNEL_EMIT_MAX_IDS:
+            return partial(_mask_fill_emit_pallas, interpret=interpret)
         return _mask_fill_emit_big
     return _mask_fill_emit
 
 
 def mask_fill(coords, radii, capacity, gxy, col_capacity, slab_rows,
               rpw=2, interpret=False, chunk_blocks=1 << 16, kcap=None,
-              emit_blk=None):
+              emit_blk=None, emit_mode=None):
     """Gather-free TPU pair enumeration from packed sweep masks.
 
     Returns (ida[capacity], idb[capacity], total, ok) — SoA uint32 pair
@@ -617,15 +701,16 @@ def mask_fill(coords, radii, capacity, gxy, col_capacity, slab_rows,
         coords, radii, int(capacity), int(gxy), int(col_capacity),
         int(slab_rows), int(rpw), bool(interpret), int(chunk_blocks),
         None if kcap is None else int(kcap),
-        None if emit_blk is None else int(emit_blk))
+        None if emit_blk is None else int(emit_blk),
+        emit_mode)
 
 
 @partial(jax.jit, static_argnames=(
     "capacity", "gxy", "col_capacity", "slab_rows", "rpw", "interpret",
-    "chunk_blocks", "kcap", "emit_blk"))
+    "chunk_blocks", "kcap", "emit_blk", "emit_mode"))
 def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
                     rpw, interpret, chunk_blocks, kcap=None,
-                    emit_blk=None):
+                    emit_blk=None, emit_mode=None):
     from .columns import plan_columns
     from .kernels.sweep import sweep_masks
 
@@ -644,7 +729,8 @@ def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
                 total.astype(jnp.uint32), ok)
     ids_flat = jax.lax.bitcast_convert_type(
         plan.stream[:, 6, :], jnp.uint32).reshape(-1)
-    emit = _pick_emit(capacity, emit_blk)
+    emit = _pick_emit(capacity, emit_blk, ids_flat.shape[0], interpret,
+                      emit_mode)
     ida, idb, trunc_safe = emit(
         B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat, capacity,
         rpw, total, kcap, noff=5, rolled=False)
@@ -675,7 +761,8 @@ def run_fill(coords, radii, capacity, gxy, cand_capacity, chunk=1 << 20):
 
 
 def slab_mask_fill(coords, radii, capacity, gx, col_capacity, slab_rows,
-                   rpw=1, interpret=False, kcap=None, emit_blk=None):
+                   rpw=1, interpret=False, kcap=None, emit_blk=None,
+                   emit_mode=None):
     """Sparse-emission pair fill over the slab engine's 2-offset masks.
 
     The slab analog of :func:`mask_fill`: the rolled slab masks kernel
@@ -689,15 +776,16 @@ def slab_mask_fill(coords, radii, capacity, gx, col_capacity, slab_rows,
         coords, radii, int(capacity), int(gx), int(col_capacity),
         int(slab_rows), int(rpw), bool(interpret),
         None if kcap is None else int(kcap),
-        None if emit_blk is None else int(emit_blk))
+        None if emit_blk is None else int(emit_blk),
+        emit_mode)
 
 
 @partial(jax.jit, static_argnames=(
     "capacity", "gx", "col_capacity", "slab_rows", "rpw", "interpret",
-    "kcap", "emit_blk"))
+    "kcap", "emit_blk", "emit_mode"))
 def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
                          slab_rows, rpw, interpret, kcap=None,
-                         emit_blk=None):
+                         emit_blk=None, emit_mode=None):
     from .kernels.slab_sweep import slab_sweep_masks
     from .slabs import plan_slabs
 
@@ -714,7 +802,8 @@ def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
                 total.astype(jnp.uint32), ok)
     ids_flat = jax.lax.bitcast_convert_type(
         plan.stream[:, 6, :], jnp.uint32).reshape(-1)
-    emit = _pick_emit(capacity, emit_blk)
+    emit = _pick_emit(capacity, emit_blk, ids_flat.shape[0], interpret,
+                      emit_mode)
     ida, idb, trunc_safe = emit(
         B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat, capacity,
         rpw, total, kcap, noff=2, rolled=True)

@@ -494,3 +494,97 @@ def test_big_emit_slab_parity():
            for a, b in zip(np.asarray(bg[0])[:len(expected)],
                            np.asarray(bg[1])[:len(expected)])}
     assert got == expected
+
+
+# ---- in-kernel streaming emission (kernels/pair_emit.py) ----
+#
+# The Pallas second pass: mask rows stream once through VMEM and pairs
+# leave through a carried-cursor staging ring — the big-fill workhorse
+# (auto above BIG_FILL_THRESHOLD when the id table fits VMEM). These
+# force it (emit_mode="kernel") on small scenes and pin output against
+# the single-shot sparse path: identical deterministic order, both mask
+# layouts, capacity clipping.
+
+
+def _kernel_vs_sparse(n, seed, gxy, cc, sr, rscale=1.2, capacity=None):
+    rng = np.random.RandomState(seed)
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, rscale / np.sqrt(n), n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    cap = capacity if capacity is not None else max(len(expected) + 9, 16)
+    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii), gxy, cc, sr)
+    assert bool(plan.ok)
+    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_needed))
+    sp = mask_fill(jnp.asarray(coords), jnp.asarray(radii), cap, gxy,
+                   cc, sr, rpw=rpw, interpret=True, emit_mode="sparse")
+    kn = mask_fill(jnp.asarray(coords), jnp.asarray(radii), cap, gxy,
+                   cc, sr, rpw=rpw, interpret=True, emit_mode="kernel")
+    return expected, sp, kn
+
+
+@pytest.mark.parametrize("n,seed,gxy,cc,sr", [
+    (200, 0, 2, 192, 4),
+    (1000, 2, 4, 128, 6),
+    (600, 9, 2, 512, 8),
+])
+def test_pair_emit_kernel_bit_identical(n, seed, gxy, cc, sr):
+    expected, sp, kn = _kernel_vs_sparse(n, seed, gxy, cc, sr)
+    assert bool(sp[3]) and bool(kn[3])
+    assert int(sp[2]) == int(kn[2]) == len(expected)
+    np.testing.assert_array_equal(np.asarray(sp[0]), np.asarray(kn[0]))
+    np.testing.assert_array_equal(np.asarray(sp[1]), np.asarray(kn[1]))
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(kn[0])[:len(expected)],
+                           np.asarray(kn[1])[:len(expected)])}
+    assert got == expected
+
+
+def test_pair_emit_kernel_past_capacity_prefix():
+    # capacity < total: true total keeps counting (collision.cl:203-207)
+    # and the materialized prefix is the same deterministic prefix.
+    expected, sp, kn = _kernel_vs_sparse(1000, 2, 4, 128, 6, capacity=32)
+    assert int(sp[2]) == int(kn[2]) == len(expected) > 32
+    np.testing.assert_array_equal(np.asarray(sp[0]), np.asarray(kn[0]))
+    np.testing.assert_array_equal(np.asarray(sp[1]), np.asarray(kn[1]))
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(kn[0]), np.asarray(kn[1]))}
+    assert got <= expected and len(got) == 32
+
+
+def test_pair_emit_kernel_dense_column():
+    # 22k pairs through one column: rows needing many 128-slot vector
+    # steps, multiple staging flushes, unaligned cursor carries.
+    expected, sp, kn = _kernel_vs_sparse(800, 5, 1, 832, 9, rscale=6)
+    assert bool(kn[3])
+    assert int(kn[2]) == len(expected)
+    np.testing.assert_array_equal(np.asarray(sp[0]), np.asarray(kn[0]))
+    np.testing.assert_array_equal(np.asarray(sp[1]), np.asarray(kn[1]))
+
+
+def test_pair_emit_kernel_slab_rolled_layout():
+    # The rolled (slab) mask layout: unaligned window starts exercise
+    # the in-kernel roll-merge id reads on the b side.
+    rng = np.random.RandomState(11)
+    n = 1200
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 1.2 / np.sqrt(n), n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    gx, cc, sr = 4, 448, 9
+    plan = plan_slabs(jnp.asarray(coords), jnp.asarray(radii), gx, cc, sr)
+    assert bool(plan.ok)
+    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_rolled))
+    cap = len(expected) + 5
+    sp = slab_mask_fill(jnp.asarray(coords), jnp.asarray(radii), cap,
+                        gx, cc, sr, rpw=rpw, interpret=True,
+                        emit_mode="sparse")
+    kn = slab_mask_fill(jnp.asarray(coords), jnp.asarray(radii), cap,
+                        gx, cc, sr, rpw=rpw, interpret=True,
+                        emit_mode="kernel")
+    assert int(sp[2]) == int(kn[2]) == len(expected)
+    assert bool(sp[3]) and bool(kn[3])
+    np.testing.assert_array_equal(np.asarray(sp[0]), np.asarray(kn[0]))
+    np.testing.assert_array_equal(np.asarray(sp[1]), np.asarray(kn[1]))
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(kn[0])[:len(expected)],
+                           np.asarray(kn[1])[:len(expected)])}
+    assert got == expected
