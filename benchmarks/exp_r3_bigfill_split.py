@@ -106,11 +106,25 @@ def main():
     _, t_prep, _ = timeit(prep, B)
     print("prep alone: {:.0f} ms".format(t_prep * 1e3), flush=True)
 
+    # End-to-end, scalars only (no bulk fetches, one probe round-trip).
+    from collision_tpu.fill import mask_fill
+
+    @jax.jit
+    def e2e(coords, radii):
+        ida, idb, tot, ok = mask_fill(
+            coords, radii, capacity, gxy, col_cap, slab_rows, rpw=rpw)
+        return (tot.astype(jnp.int32) ^ ida[0].astype(jnp.int32)
+                ^ idb[-1].astype(jnp.int32)), ok
+
+    _, t_e2e, _ = timeit(e2e, coords, radii)
+    print("mask_fill end-to-end (scalar probe): {:.0f} ms".format(
+        t_e2e * 1e3), flush=True)
+
     print("ROW " + json.dumps({
         "name": "dense{}-split".format(n),
         "plan_ms": t_plan * 1e3, "sweep_ms": t_sweep * 1e3,
         "emit_ms": t_emit * 1e3, "prep_ms": t_prep * 1e3,
-        "B_GB": bbytes / 1e9}), flush=True)
+        "e2e_ms": t_e2e * 1e3, "B_GB": bbytes / 1e9}), flush=True)
 
 
 if __name__ == "__main__":

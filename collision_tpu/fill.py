@@ -277,7 +277,7 @@ def _select_bit(word, rank):
 
 
 def _mask_fill_emit(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
-                    total, kcap=None, noff=5, rolled=False):
+                    total, kcap=None, noff=5, rolled=False, rp=None):
     """Emit (ida, idb) SoA pair buffers from packed sweep masks.
 
     ``B``: uint32[ncols*NG, KG*noff*rpw*2, 128] from sweep_masks
@@ -316,8 +316,11 @@ def _mask_fill_emit(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
     Rw = Bv.shape[0]
     imax = jnp.int32(2 ** 31 - 1)
 
-    pc = jax.lax.population_count(Bv).astype(jnp.int32)    # [Rw, 128]
-    row_pairs = jnp.sum(pc, axis=1)                        # [Rw]
+    if rp is None:
+        pc = jax.lax.population_count(Bv).astype(jnp.int32)
+        row_pairs = jnp.sum(pc, axis=1, dtype=jnp.int32)   # [Rw]
+    else:
+        row_pairs = rp.reshape(-1)         # caller's shared popcount pass
 
     # --- level 1: compact hit rows (128-word granularity) ---
     cap_k = capacity + 8 if kcap is None else kcap
@@ -413,7 +416,7 @@ _WIDE_ROWS_CAP = 1 << 23
 
 
 def _mask_fill_emit_big(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
-                        total, kcap=None, noff=5, rolled=False,
+                        total, kcap=None, noff=5, rolled=False, rp=None,
                         blk=1 << 19):
     """Blocked pair emission for huge capacities (dense full fills).
 
@@ -457,8 +460,11 @@ def _mask_fill_emit_big(B, starts, w0_flat, mc, ids_flat, capacity, rpw,
     Rw = Bv.shape[0]
     nsort = ids_flat.shape[0]
 
-    pc = jax.lax.population_count(Bv).astype(jnp.int32)
-    row_pairs = jnp.sum(pc, axis=1)                        # [Rw]
+    if rp is None:
+        pc = jax.lax.population_count(Bv).astype(jnp.int32)
+        row_pairs = jnp.sum(pc, axis=1, dtype=jnp.int32)   # [Rw]
+    else:
+        row_pairs = rp.reshape(-1)         # caller's shared popcount pass
     csum_rp = inclusive_scan(row_pairs)
     start_r = csum_rp - row_pairs          # exclusive per-row pair base
 
@@ -594,7 +600,8 @@ KERNEL_EMIT_MAX_IDS = 3 * (1 << 19)
 
 def _mask_fill_emit_pallas(B, starts, w0_flat, mc, ids_flat, capacity,
                            rpw, total, kcap=None, noff=5, rolled=False,
-                           interpret=False, mxu=False, nostore=False):
+                           rp=None, interpret=False, mxu=False,
+                           nostore=False):
     """In-kernel pair emission (kernels/pair_emit.py): each mask row is
     streamed once and its pairs leave through a carried-cursor staging
     ring at ~vector-op cost per pair — the TPU restoration of the
@@ -637,6 +644,8 @@ def _mask_fill_emit_pallas(B, starts, w0_flat, mc, ids_flat, capacity,
         cb3.reshape(NB, kg, 1), (NB, kg, noff * rpw)).reshape(NB, kgt)
 
     ida, idb = emit_pairs(B3, wstart_tab, cb_tab, ids_flat, capacity,
+                          rp_tab=None if rp is None else
+                          rp.reshape(NB, 2 * kgt),
                           interpret=interpret, mxu=mxu, nostore=nostore)
     q = jnp.arange(capacity, dtype=jnp.int32)
     live = q < jnp.minimum(total, capacity)
@@ -718,12 +727,16 @@ def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
         jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
         gxy, col_capacity, slab_rows)
     B = sweep_masks(plan, rpw=rpw, interpret=interpret)
-    pc = jax.lax.population_count(B.reshape(-1))
-    total = jnp.sum(pc, dtype=jnp.int32)
+    # ONE popcount pass over the mask buffer, in its native layout (a
+    # flat reshape relayouts: ~5 ms/46M words measured), shared by the
+    # total, the overflow guard, and the emission paths' row tables.
+    rp = jnp.sum(jax.lax.population_count(B).astype(jnp.int32), axis=2,
+                 dtype=jnp.int32)                      # [NB, rows]
+    total = jnp.sum(rp, dtype=jnp.int32)
     # int32 guard for pathological all-overlapping scenes (f32 tree sum
     # is accurate to ~2^-20 relative — sound as a margined detector).
     ok = plan.ok & (plan.rows_needed <= rpw) \
-        & (jnp.sum(pc.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
+        & (jnp.sum(rp.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
     if capacity == 0:
         return (jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.uint32),
                 total.astype(jnp.uint32), ok)
@@ -733,7 +746,7 @@ def _mask_fill_impl(coords, radii, capacity, gxy, col_capacity, slab_rows,
                       emit_mode)
     ida, idb, trunc_safe = emit(
         B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat, capacity,
-        rpw, total, kcap, noff=5, rolled=False)
+        rpw, total, kcap, noff=5, rolled=False, rp=rp)
     return ida, idb, total.astype(jnp.uint32), ok & trunc_safe
 
 
@@ -793,10 +806,13 @@ def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
         jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
         gx, col_capacity, slab_rows)
     B = slab_sweep_masks(plan, rpw=rpw, interpret=interpret)
-    pc = jax.lax.population_count(B.reshape(-1))
-    total = jnp.sum(pc, dtype=jnp.int32)
+    # One native-layout popcount pass shared with emission (see
+    # _mask_fill_impl).
+    rp = jnp.sum(jax.lax.population_count(B).astype(jnp.int32), axis=2,
+                 dtype=jnp.int32)                      # [NB, rows]
+    total = jnp.sum(rp, dtype=jnp.int32)
     ok = plan.ok & (plan.rows_rolled <= rpw) \
-        & (jnp.sum(pc.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
+        & (jnp.sum(rp.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
     if capacity == 0:
         return (jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.uint32),
                 total.astype(jnp.uint32), ok)
@@ -806,5 +822,5 @@ def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
                       emit_mode)
     ida, idb, trunc_safe = emit(
         B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat, capacity,
-        rpw, total, kcap, noff=2, rolled=True)
+        rpw, total, kcap, noff=2, rolled=True, rp=rp)
     return ida, idb, total.astype(jnp.uint32), ok & trunc_safe

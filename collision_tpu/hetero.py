@@ -134,15 +134,19 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
     # 1M — design.md). Masks need the aligned-row bound rows_needed,
     # not the rolled one; the difference folds into ok.
     B = sweep_masks(plan, rpw=rpw, interpret=interpret)
-    pcm = jax.lax.population_count(B.reshape(-1))
-    tot_s_i = jnp.sum(pcm, dtype=jnp.int32)
+    # One native-layout popcount pass shared by total/guard/emission
+    # (see fill._mask_fill_impl).
+    rpm = jnp.sum(jax.lax.population_count(B).astype(jnp.int32), axis=2,
+                  dtype=jnp.int32)
+    tot_s_i = jnp.sum(rpm, dtype=jnp.int32)
     ovf_s = (plan.rows_needed <= rpw) \
-        & (jnp.sum(pcm.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
+        & (jnp.sum(rpm.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
     ids_flat = jax.lax.bitcast_convert_type(
         plan.stream[:, 6, :], jnp.uint32).reshape(-1)
-    sa, sb, emit_safe = _pick_emit(capacity, None)(
+    sa, sb, emit_safe = _pick_emit(
+        capacity, None, ids_flat.shape[0], interpret)(
         B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat,
-        capacity, rpw, tot_s_i, None, noff=5, rolled=False)
+        capacity, rpw, tot_s_i, None, noff=5, rolled=False, rp=rpm)
     ovf_s &= emit_safe
     tot_s = tot_s_i.astype(jnp.uint32)
     bsa, bsb, tot_bs, ovf_bs = big_pairs(

@@ -381,8 +381,8 @@ def _make_emit_kernel(kgt, idr, capacity, direct, mxu, nostore=False):
     return kernel
 
 
-def emit_pairs(B, wstart_tab, cb_tab, ids_flat, capacity, interpret=False,
-               mxu=False, nostore=False):
+def emit_pairs(B, wstart_tab, cb_tab, ids_flat, capacity, rp_tab=None,
+               interpret=False, mxu=False, nostore=False):
     """Emit (ida, idb) pair buffers from packed sweep masks.
 
     Args:
@@ -420,9 +420,13 @@ def emit_pairs(B, wstart_tab, cb_tab, ids_flat, capacity, interpret=False,
 
     # Per-row pair counts (SMEM loop bounds) and the compacted list of
     # row groups with any pairs: dead groups cost the kernel nothing.
-    rp_tab = jnp.sum(
-        jax.lax.population_count(B).astype(jnp.int32), axis=2,
-        dtype=jnp.int32)
+    # Callers that already popcounted B (fill's total/overflow pass)
+    # hand the row table in — the mask buffer then streams exactly once
+    # through XLA and once through the kernel.
+    if rp_tab is None:
+        rp_tab = jnp.sum(
+            jax.lax.population_count(B).astype(jnp.int32), axis=2,
+            dtype=jnp.int32)
     grp_nz = (rp_tab.reshape(NB, kgt, 2).sum(axis=2) > 0)
     sl_iota = jnp.arange(kgt, dtype=jnp.int32)[None, :]
     nzsl_tab = jnp.sort(

@@ -260,16 +260,19 @@ def _make_device_fn(axis, n_dev, n_l, gx, gpd, bucket_cap, halo_cap,
             B = _slab_masks(plan.stream, plan.starts, plan.slab_r0,
                             plan.w0, plan.wcap, gpd, mc, slab_rows,
                             rpw, interpret)
-            pc = jax.lax.population_count(B.reshape(-1))
-            local_total = jnp.sum(pc, dtype=jnp.int32)
+            rp = jnp.sum(
+                jax.lax.population_count(B).astype(jnp.int32), axis=2,
+                dtype=jnp.int32)
+            local_total = jnp.sum(rp, dtype=jnp.int32)
             f_ok = ok_local & (plan.rows_rolled <= rpw) \
-                & (jnp.sum(pc.astype(jnp.float32))
+                & (jnp.sum(rp.astype(jnp.float32))
                    < float(2 ** 31 - 2 ** 26))
             ids_flat = jax.lax.bitcast_convert_type(
                 plan.stream[:, 6, :], jnp.uint32).reshape(-1)
             ida_l, idb_l, trunc_safe = _mask_fill_emit(
                 B, plan.starts, plan.w0.reshape(-1), mc, ids_flat,
-                capacity, rpw, local_total, None, noff=2, rolled=True)
+                capacity, rpw, local_total, None, noff=2, rolled=True,
+                rp=rp)
 
             totals = jax.lax.all_gather(local_total, axis)
             me_i = me.astype(jnp.int32)
