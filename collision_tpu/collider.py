@@ -298,7 +298,11 @@ def _slab_collide(coords, radii, capacity, gx, col_capacity, slab_rows,
     if use_kernels:
         if capacity == 0:
             # Dual dispatch: 1-row sweep + vectorized residual — no
-            # rows-per-window knob on the count path at all.
+            # rows-per-window knob on the count path at all. (The
+            # diagonal self pass, kernels/slab_sweep.slab_count_diag,
+            # is exact-and-flagged but measured slower at 1M — 12.8 vs
+            # 10.2 ms — because the cross-only windowed sweep still
+            # pays full per-chunk overhead; see docs/design.md.)
             plan = plan_slabs(
                 jnp.asarray(coords, jnp.float32),
                 jnp.asarray(radii, jnp.float32),

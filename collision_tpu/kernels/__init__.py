@@ -3,7 +3,8 @@ from .compact import compact_mask
 from .emit import emit_pairs, grid_fill, halo_tile_counts
 from .halo import halo_pairs
 from .slab_sweep import (
-    slab_count, slab_count_dual, slab_count_guarded, slab_sweep_masks)
+    diag_count, slab_count, slab_count_diag, slab_count_dual,
+    slab_count_guarded, slab_sweep_masks)
 from .stream_emit import stream_fill_pairs
 from .sweep import sweep_count, sweep_count_guarded, sweep_masks
 
@@ -14,7 +15,9 @@ __all__ = [
     "grid_fill",
     "halo_tile_counts",
     "halo_pairs",
+    "diag_count",
     "slab_count",
+    "slab_count_diag",
     "slab_count_dual",
     "slab_count_guarded",
     "slab_sweep_masks",

@@ -27,7 +27,135 @@ from ..columns import CHUNK, LANE
 from ..slabs import SLAB_OFFSETS, SlabPlan
 
 
-def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1):
+#: Stream rows per diagonal-kernel grid block. slabs._plan_from_sorted
+#: rounds the stream's row count so every block has a full successor
+#: block (the kernel reads blocks i and i+1).
+DIAG_B = 32
+
+#: Default diagonal span of :func:`slab_count_diag`. Uniform scenes at
+#: the default slab config have per-sphere sorted-index reach of
+#: ~slack/2 = 12 positions (plan slack 24), so 48 covers an 8-sigma
+#: Poisson excursion; anything past it trips the in-kernel detector
+#: (ok=False -> host retry), never a silent miss.
+DEFAULT_DIAG = 48
+
+
+def _make_diag_kernel(B, d_max):
+    """Diagonal pair-count kernel: all pairs (i, i + d), 1 <= d <= d_max.
+
+    Self-slab pairs cluster within a few dozen sorted positions (the
+    sort is (x_slab, z): a sphere's partners sit next to it), so
+    instead of chunk windows this kernel tests *static diagonals*: a
+    block of B aligned stream rows against itself shifted by d lanes —
+    one select + one lane-roll per component per diagonal, no
+    transposes and no dynamic slices at all. Pairs are counted by pure
+    index distance: same-slab and adjacent-slab alike (non-adjacent
+    slabs can never overlap — slab width >= 2*r_max), each exactly once
+    (d >= 1 is the j > i dedup).
+
+    The companion windowed cross pass and residual jobs carry the
+    ``j > i + d_max`` mask, so coverage partitions exactly; the one
+    class nobody covers — same-slab pairs at distance > d_max — is
+    *detected*: at diagonal d_max + 1 any lane whose z-low sits within
+    ``thr`` of the a-side z-high in the same slab flags ok=False
+    (z is slab-sorted, so distance-(d_max+1) z-separation bounds all
+    farther partners). Mirrors the reference's count-past-capacity
+    honesty (collision.cl:203-207) at the geometric level.
+    """
+    def kernel(thr_ref, a_ref, b_ref, total_ref, totf_ref, flag_ref,
+               cursor, cursor_f, cflag):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            cursor[0] = 0
+            cursor_f[0] = 0.0
+            cflag[0] = 0
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (B, LANE), 1)
+
+        # Component tiles of this block and their 1/2-row-shifted forms
+        # (rows borrowed from block i+1); comps 0..5 are the AABB, 7 is
+        # the slab id (slabs.py channel 7).
+        comps = (0, 1, 2, 3, 4, 5, 7)
+        A = {c: a_ref[:, c, :] for c in comps}
+        nq = (d_max + 1) // LANE + 1
+        sh = {c: [A[c]] for c in comps}
+        for q in range(1, nq + 1):
+            for c in comps:
+                sh[c].append(jnp.concatenate(
+                    [A[c][q:], b_ref[0:q, c, :]], axis=0))
+
+        def shifted(c, d):
+            """[B, 128] tile of component c at sorted offset +d."""
+            q, s = divmod(d, LANE)
+            if s == 0:
+                return sh[c][q]
+            w = jnp.where(lane_i < s, sh[c][q + 1], sh[c][q])
+            return pltpu.roll(w, LANE - s, 1)
+
+        acc = jnp.zeros((B, LANE), jnp.int32)
+        for d in range(1, d_max + 1):
+            m = (A[3] > shifted(0, d)) & (A[0] < shifted(3, d))
+            m &= (A[4] > shifted(1, d)) & (A[1] < shifted(4, d))
+            m &= (A[5] > shifted(2, d)) & (A[2] < shifted(5, d))
+            acc = acc + jnp.where(m, 1, 0)
+        cursor[0] = cursor[0] + jnp.sum(acc, dtype=jnp.int32)
+        cursor_f[0] = cursor_f[0] + jnp.sum(
+            acc.astype(jnp.float32), dtype=jnp.float32)
+
+        # Missed-pair detector at distance d_max + 1. Pad rows carry
+        # +inf z, so "inf < inf + thr" never flags them.
+        dd = d_max + 1
+        fm = (shifted(7, dd) == A[7]) \
+            & (shifted(2, dd) < A[5] + thr_ref[0])
+        cflag[0] = cflag[0] + jnp.sum(jnp.where(fm, 1, 0),
+                                      dtype=jnp.int32)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _finish():
+            total_ref[0] = cursor[0]
+            totf_ref[0] = cursor_f[0]
+            flag_ref[0] = cflag[0]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("d_max", "interpret"))
+def diag_count(stream, diag_thr, d_max=DEFAULT_DIAG, interpret=False):
+    """(count, count_f32, flagged) over all pairs (i, i+d), d <= d_max.
+
+    ``flagged`` > 0 means some same-slab pair beyond ``d_max`` may
+    exist — the result is then a lower bound and the caller must retry
+    (wider diagonals, more slabs, or the windowed self sweep).
+    """
+    Rp = stream.shape[0]
+    nblocks = Rp // DIAG_B - 1
+    kernel = _make_diag_kernel(DIAG_B, d_max)
+    total, totf, flag = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((DIAG_B, 8, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DIAG_B, 8, LANE), lambda i: (i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((1,), jnp.int32),
+                   jax.ShapeDtypeStruct((1,), jnp.float32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.float32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(diag_thr, stream, stream)
+    return total[0], totf[0], flag[0]
+
+
+def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
+                      offsets=SLAB_OFFSETS, dmin=0):
     def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
                total_ref, totf_ref, *scratch):
         if direct_stream:
@@ -109,7 +237,10 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1):
             # window values are real but the all-inf a side kills m).
             tbase = jnp.minimum(k, mc - 1) * 2
 
-            for off, dx in enumerate(SLAB_OFFSETS):
+            for dx in offsets:
+                # Window tables are laid out by SLAB_OFFSETS position,
+                # independent of which offsets this kernel runs.
+                off = SLAB_OFFSETS.index(dx)
                 w0 = w0_ref[0, 0, tbase + off]
                 wcap = wcap_ref[0, 0, tbase + off]
                 for r in range(rpw):
@@ -119,10 +250,13 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1):
                     m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
                     m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
                     m &= jrel < wcap
-                    if dx == 0:
-                        # Intra-slab dedup: j > i. w0 >= g0 by the
-                        # plan's self-window clip.
-                        m &= w0 + jrel > g0 + sub_c
+                    if dx == 0 or dmin:
+                        # Index-distance dedup: j > i + dmin (plain
+                        # j > i intra-slab when dmin == 0; w0 >= g0 by
+                        # the plan's self-window clip). With dmin > 0
+                        # it also excludes the diagonal pass's pairs
+                        # from cross windows.
+                        m &= w0 + jrel > g0 + sub_c + dmin
                     c = jnp.where(m, 1, 0)
                     fold = c[0:8]
                     for f in range(8, CHUNK, 8):
@@ -394,12 +528,52 @@ def slab_count_dual(plan: SlabPlan, interpret=False, j_cap=None):
     return count + rcount, r_ok & no_ovf
 
 
+def slab_count_diag(plan: SlabPlan, d_max=DEFAULT_DIAG, interpret=False,
+                    j_cap=None):
+    """(count, ok): diagonal self pass + windowed cross pass.
+
+    The round-3 flagship count. Pair coverage partitions by sorted
+    index distance ``d = j - i``:
+
+      d <= d_max              diagonal kernel (:func:`diag_count`) —
+                              slab-agnostic, exact, no tables;
+      d >  d_max, cross-slab  the windowed sweep, cross offset only,
+                              windows clamped to 128 lanes with the
+                              ``j > i + d_max`` mask, plus the residual
+                              jobs for clipped lanes (same mask);
+      d >  d_max, same-slab   impossible unless the in-kernel detector
+                              flags (ok=False -> host retry).
+
+    ``ok`` folds the detector, the residual-job capacity, and the int32
+    overflow guard; a False result is a lower bound and the caller must
+    escalate (more slabs, or :func:`slab_count_dual`).
+    """
+    from ..slabs import RESIDUAL_JOBS, residual_count
+
+    dcount, dcount_f, flag = diag_count(
+        plan.stream, plan.diag_thr, d_max, interpret)
+    wcap_c = jnp.minimum(plan.wcap, LANE)
+    ccount, ccount_f = _slab_count(
+        plan.stream, plan.starts, plan.slab_r0, plan.w0, wcap_c,
+        plan.gx, plan.mc, plan.slab_rows, 1, interpret, UNROLL,
+        offsets=(1,), dmin=d_max,
+    )
+    rcount, r_ok = residual_count(
+        plan, RESIDUAL_JOBS if j_cap is None else j_cap, dmin=d_max)
+    no_ovf = (dcount_f + ccount_f) < float(2 ** 31 - 2 ** 26)
+    ok = r_ok & no_ovf & (flag == 0)
+    return dcount + ccount + rcount, ok
+
+
 @partial(jax.jit, static_argnames=(
-    "gx", "mc", "slab_rows", "rpw", "interpret", "unroll"))
+    "gx", "mc", "slab_rows", "rpw", "interpret", "unroll", "offsets",
+    "dmin"))
 def _slab_count(stream, starts, slab_r0, w0_tab, wcap_tab,
-                gx, mc, slab_rows, rpw=1, interpret=False, unroll=1):
+                gx, mc, slab_rows, rpw=1, interpret=False, unroll=1,
+                offsets=SLAB_OFFSETS, dmin=0):
     direct = bool(interpret)
-    kernel = _make_slab_kernel(gx, mc, slab_rows, rpw, direct, unroll)
+    kernel = _make_slab_kernel(gx, mc, slab_rows, rpw, direct, unroll,
+                               offsets, dmin)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts

@@ -51,7 +51,7 @@ SLAB_OFFSETS = (0, 1)
 class SlabPlan(NamedTuple):
     """Everything the slab sweep kernel needs, plus host-retry stats."""
 
-    stream: jax.Array      # [Rp, 8, 128] f32: xlo ylo zlo xhi yhi zhi id pad
+    stream: jax.Array      # [Rp, 8, 128] f32: xlo ylo zlo xhi yhi zhi id col
     starts: jax.Array      # int32[gx + 2] slab start indices (+1 pad slab)
     slab_r0: jax.Array     # int32[gx + 1] first stream row of each slab
     w0: jax.Array          # int32[gx, mc*2] window starts (global)
@@ -60,6 +60,8 @@ class SlabPlan(NamedTuple):
     max_col: jax.Array     # int32 stats for host retry
     max_slab_rows: jax.Array
     rows_rolled: jax.Array  # int32: max ceil(window/128) any window needs
+    diag_thr: jax.Array    # f32[1] z-proximity threshold of the diagonal
+                           # count's missed-pair detector (slab_sweep.py)
     n: int
     gx: int
     mc: int
@@ -107,7 +109,7 @@ def _xbits_z(gx):
 RESIDUAL_JOBS = 256
 
 
-def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS):
+def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS, dmin=0):
     """(count, ok) for window lanes beyond the first 128.
 
     The dual-dispatch count runs the Pallas slab sweep at a static one
@@ -122,6 +124,14 @@ def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS):
     (windows wider than 256 lanes) overflowed; the caller falls back to
     the escalated-rpw rolled kernel, so results are never silently
     wrong.
+
+    ``dmin`` restricts residual pairs to sorted-index distance
+    ``j - i > dmin`` — the diagonal count path
+    (kernels/slab_sweep.slab_count_diag) covers every pair within
+    ``dmin`` positions itself, so its residuals must exclude them. At
+    ``dmin == 0`` the mask is vacuous for self jobs (their lanes start
+    at w0 + 128 > any chunk index) and correct for cross jobs (slab
+    x+1 indices always exceed slab x indices).
     """
     from .ops.scan import inclusive_scan
 
@@ -168,10 +178,12 @@ def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS):
     a_ok = (apos >= g0[:, None]) & (apos < jnp.minimum(
         g0 + CHUNK, aend)[:, None])
     b_ok = (jpos >= (w0j + LANE)[:, None]) & (jpos < (w0j + wcj)[:, None])
-    # No explicit j > i dedup needed: for self-offset jobs the plan
-    # clips w0 >= g0, so every residual lane has global index
-    # >= w0 + 128 > g0 + CHUNK - 1 >= every a index in the chunk.
+    # j > i dedup holds by construction at dmin == 0 (self-offset jobs
+    # clip w0 >= g0, so residual lanes start past the chunk); the
+    # explicit index-distance mask carries the diagonal path's dmin.
     m = a_ok[:, :, None] & b_ok[:, None, :]
+    if dmin:
+        m &= jpos[:, None, :] > apos[:, :, None] + dmin
     m &= comp(a6, 3)[:, :, None] > comp(b6, 0)[:, None, :]
     m &= comp(a6, 0)[:, :, None] < comp(b6, 3)[:, None, :]
     m &= comp(a6, 4)[:, :, None] > comp(b6, 1)[:, None, :]
@@ -274,8 +286,13 @@ def _plan_from_sorted(key_s, ids_s, x_s, y_s, z_s, r_s, size, gx, col0,
     slab_r0 = (starts[: gx + 1] // LANE).astype(jnp.int32)
 
     # --- stream tensor [Rp, 8, 128] ---
+    # Rp is rounded so the diagonal count kernel's fixed-size row
+    # blocks (DIAG_B) always have one full lookahead block of +inf pad
+    # past the data (kernels/slab_sweep.py reads blocks i and i+1).
+    from .kernels.slab_sweep import DIAG_B
+
     R = -(-n // LANE)
-    Rp = R + slab_rows + 2
+    Rp = max(-(-(R + slab_rows + 2) // DIAG_B), R // DIAG_B + 2) * DIAG_B
     npad = Rp * LANE
 
     def padto(v, fill):
@@ -287,7 +304,11 @@ def _plan_from_sorted(key_s, ids_s, x_s, y_s, z_s, r_s, size, gx, col0,
         padto(x_s - r_s, jnp.inf), padto(y_s - r_s, jnp.inf),
         padto(z_s - r_s, jnp.inf), padto(x_s + r_s, jnp.inf),
         padto(y_s + r_s, jnp.inf), padto(z_s + r_s, jnp.inf),
-        padto(idf, jnp.inf), jnp.full((npad,), jnp.inf, jnp.float32),
+        padto(idf, jnp.inf),
+        # Channel 7: the slab id (exact as f32 — slab counts are far
+        # below 2^24), read by the diagonal kernel's same-slab check;
+        # pad rows carry +inf and can never flag (their z is +inf too).
+        padto(col_s.astype(jnp.float32), jnp.inf),
     ])  # [8, npad]
     stream = jnp.transpose(comps.reshape(8, Rp, LANE), (1, 0, 2))
 
@@ -368,6 +389,15 @@ def _plan_from_sorted(key_s, ids_s, x_s, y_s, z_s, r_s, size, gx, col0,
     max_slab = jnp.max(rows_needed)
     ok = (max_col <= col_capacity) & (max_slab + 2 <= slab_rows)
 
+    # Missed-pair detector threshold for the diagonal count
+    # (kernels/slab_sweep.py): a same-slab pair (i, j) with j > i + D
+    # overlapping in z implies zlo(i + D + 1) < zhi(i) + r_max +
+    # 1/zscale + (f32 slop) — one quantization cell for the zq-sorted
+    # (not z-sorted) order, plus rounding headroom scaled to the scene.
+    diag_thr = (r_max + 1.0 / zscale
+                + (jnp.abs(lo_z) + zext + r_max) * jnp.float32(2 ** -20)
+                ).astype(jnp.float32).reshape(1)
+
     return (stream, starts, slab_r0, w0_tab, wcap_tab,
             ok, max_col.astype(jnp.int32), max_slab.astype(jnp.int32),
-            win_rows_rolled.astype(jnp.int32))
+            win_rows_rolled.astype(jnp.int32), diag_thr)

@@ -191,3 +191,71 @@ def test_slab_rows_rolled_bound():
     cnt, no_ovf = slab_count_guarded(plan, rpw=rpw, interpret=True)
     assert int(cnt) == expected
     assert bool(no_ovf)
+
+
+@pytest.mark.parametrize("n,rscale,seed,d_max", [
+    (317, 1.0, 23, 48),
+    (1000, 0.5, 24, 48),
+    (900, 1.5, 25, 130),   # d_max past one lane row (q=1 shifts)
+    (2048, 2.0, 26, 130),  # ~341 spheres/slab: reach beyond 48
+])
+def test_slab_diag_count_parity(n, rscale, seed, d_max):
+    # The diagonal self pass + masked cross pass partition the pair set
+    # by sorted-index distance; whenever ok=True the count is exact.
+    from collision_tpu.kernels.slab_sweep import slab_count_diag
+
+    rng = np.random.RandomState(seed)
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, rscale / np.sqrt(n), n).astype("float32")
+    gx, col_cap, slab_rows = default_slab_config(n)
+    plan = plan_slabs(
+        jnp.asarray(coords), jnp.asarray(radii), gx, col_cap, slab_rows)
+    assert bool(plan.ok)
+    cnt, ok = slab_count_diag(plan, d_max=d_max, interpret=True)
+    assert bool(ok)
+    assert int(cnt) == len(brute_force_collisions(coords, radii))
+
+
+def test_slab_diag_detector_flags_undercount():
+    # d_max too small for the scene: the in-kernel detector must flag
+    # (ok=False) every time the diagonal span misses same-slab pairs —
+    # a count may be wrong ONLY when flagged.
+    from collision_tpu.kernels.slab_sweep import slab_count_diag
+
+    rng = np.random.RandomState(27)
+    n = 700
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.08, n).astype("float32")
+    gx, col_cap, slab_rows = default_slab_config(n)
+    plan = plan_slabs(
+        jnp.asarray(coords), jnp.asarray(radii), gx, col_cap, slab_rows)
+    expected = len(brute_force_collisions(coords, radii))
+    for d_max in (4, 8, 16, 32, 64, 130):
+        cnt, ok = slab_count_diag(plan, d_max=d_max, interpret=True)
+        assert int(cnt) <= expected
+        if int(cnt) != expected:
+            assert not bool(ok)
+
+
+def test_slab_diag_same_z_cluster_flags():
+    # Every sphere at the same z (all pairwise-adjacent in sort order):
+    # partners sit arbitrarily far in index distance, so the detector
+    # must flag, and the windowed dual path must still be exact.
+    from collision_tpu.kernels.slab_sweep import (
+        slab_count_diag, slab_count_dual)
+
+    rng = np.random.RandomState(28)
+    n = 400
+    coords = rng.random((n, 3)).astype("float32")
+    coords[:, 2] = 0.5
+    radii = np.full(n, 0.003, dtype="float32")
+    gx, col_cap, slab_rows = default_slab_config(n)
+    plan = plan_slabs(
+        jnp.asarray(coords), jnp.asarray(radii), gx, col_cap, slab_rows)
+    expected = len(brute_force_collisions(coords, radii))
+    cnt, ok = slab_count_diag(plan, d_max=16, interpret=True)
+    assert int(cnt) <= expected
+    if int(cnt) != expected:
+        assert not bool(ok)
+    cnt2, ok2 = slab_count_dual(plan, interpret=True)
+    assert bool(ok2) and int(cnt2) == expected
