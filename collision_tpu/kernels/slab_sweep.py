@@ -217,69 +217,82 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
         a0 = starts_ref[x]
         a1 = starts_ref[x + 1]
         nchunks = jnp.minimum((a1 - a0 + CHUNK - 1) // CHUNK, mc)
+        npairs = (nchunks + 1) // 2
 
-        def chunk_tests(k, acc):
-            g0 = a0 + k * CHUNK
-            alen = jnp.minimum(a1 - g0, CHUNK)
+        def pair_tests(kk, acc):
+            # One stream row holds TWO chunks, so one rolled a-read and
+            # ONE [6,128]->[128,6] transpose serve chunks 2kk and 2kk+1.
+            # The strip microbench (exp_r3_strip.py) measured that
+            # transpose as the sweep's dominant machinery (3.6 of
+            # 5.8 ms at 1M) and the dynamic a-read+roll as the next
+            # (~2.6 ms) — pairing halves both.
+            g0 = a0 + kk * (2 * CHUNK)
+            alen = jnp.minimum(a1 - g0, 2 * CHUNK)
             a6 = read_win(0, g0)
             aT = jnp.swapaxes(a6, 0, 1)
             # Rows past the chunk -> +inf lows: the strict test can never
             # pass (subsumes an explicit a-validity mask; dead unroll
             # slots with alen <= 0 vanish the same way).
             aT = jnp.where(sub_full < alen, aT, jnp.inf)
-            axlo = aT[:CHUNK, 0:1]
-            aylo = aT[:CHUNK, 1:2]
-            azlo = aT[:CHUNK, 2:3]
-            axhi = aT[:CHUNK, 3:4]
-            ayhi = aT[:CHUNK, 4:5]
-            azhi = aT[:CHUNK, 5:6]
-            # Dead slots clamp the SMEM table read into range (their
-            # window values are real but the all-inf a side kills m).
-            tbase = jnp.minimum(k, mc - 1) * 2
 
-            for dx in offsets:
-                # Window tables are laid out by SLAB_OFFSETS position,
-                # independent of which offsets this kernel runs.
-                off = SLAB_OFFSETS.index(dx)
-                w0 = w0_ref[0, 0, tbase + off]
-                wcap = wcap_ref[0, 0, tbase + off]
-                for r in range(rpw):
-                    b6 = read_win(dx, w0 + r * LANE)
-                    jrel = r * LANE + lane_i
-                    m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
-                    m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
-                    m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
-                    m &= jrel < wcap
-                    if dx == 0 or dmin:
-                        # Index-distance dedup: j > i + dmin (plain
-                        # j > i intra-slab when dmin == 0; w0 >= g0 by
-                        # the plan's self-window clip). With dmin > 0
-                        # it also excludes the diagonal pass's pairs
-                        # from cross windows.
-                        m &= w0 + jrel > g0 + sub_c + dmin
-                    c = jnp.where(m, 1, 0)
-                    fold = c[0:8]
-                    for f in range(8, CHUNK, 8):
-                        fold = fold + c[f:f + 8]
-                    acc = acc + fold
+            for sub in range(2):
+                k = kk * 2 + sub
+                g0s = g0 + sub * CHUNK
+                s0 = sub * CHUNK
+                axlo = aT[s0:s0 + CHUNK, 0:1]
+                aylo = aT[s0:s0 + CHUNK, 1:2]
+                azlo = aT[s0:s0 + CHUNK, 2:3]
+                axhi = aT[s0:s0 + CHUNK, 3:4]
+                ayhi = aT[s0:s0 + CHUNK, 4:5]
+                azhi = aT[s0:s0 + CHUNK, 5:6]
+                # Dead slots clamp the SMEM table read into range (their
+                # window values are real but the all-inf a side kills m).
+                tbase = jnp.minimum(k, mc - 1) * 2
+
+                for dx in offsets:
+                    # Window tables are laid out by SLAB_OFFSETS
+                    # position, independent of which offsets this
+                    # kernel runs.
+                    off = SLAB_OFFSETS.index(dx)
+                    w0 = w0_ref[0, 0, tbase + off]
+                    wcap = wcap_ref[0, 0, tbase + off]
+                    for r in range(rpw):
+                        b6 = read_win(dx, w0 + r * LANE)
+                        jrel = r * LANE + lane_i
+                        m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
+                        m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
+                        m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
+                        m &= jrel < wcap
+                        if dx == 0 or dmin:
+                            # Index-distance dedup: j > i + dmin (plain
+                            # j > i intra-slab when dmin == 0; w0 >= g0
+                            # by the plan's self-window clip). With
+                            # dmin > 0 it also excludes the diagonal
+                            # pass's pairs from cross windows.
+                            m &= w0 + jrel > g0s + sub_c + dmin
+                        c = jnp.where(m, 1, 0)
+                        fold = c[0:8]
+                        for f in range(8, CHUNK, 8):
+                            fold = fold + c[f:f + 8]
+                        acc = acc + fold
             return acc
 
         if unroll == 1:
             acc = jax.lax.fori_loop(
-                0, nchunks, chunk_tests, jnp.zeros((8, LANE), jnp.int32))
+                0, npairs, pair_tests, jnp.zeros((8, LANE), jnp.int32))
         else:
             # Static unrolling lets Mosaic software-pipeline the
-            # dynamic-slice reads across chunks: the rolled sweep
+            # dynamic-slice reads across pairs: the rolled sweep
             # measured per-chunk *overhead* bound (~380 cycles/chunk at
             # any rpw — row tests are nearly free next to the loop
             # carry), so fewer, fatter iterations are the lever.
             def g_body(g, acc):
                 for t in range(unroll):
-                    acc = chunk_tests(g * unroll + t, acc)
+                    acc = pair_tests(g * unroll + t, acc)
                 return acc
 
             acc = jax.lax.fori_loop(
-                0, (nchunks + unroll - 1) // unroll, g_body,
+                0, (npairs + unroll - 1) // unroll, g_body,
                 jnp.zeros((8, LANE), jnp.int32))
         cursor[0] = cursor[0] + jnp.sum(acc, dtype=jnp.int32)
         cursor_f[0] = cursor_f[0] + jnp.sum(
@@ -293,12 +306,14 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
     return kernel
 
 
-#: Default chunk-loop unroll. The rolled sweep is per-chunk *overhead*
-#: bound (~380 cycles/chunk at any rpw on v5e — the row tests are nearly
-#: free next to the loop carry); unrolling lets Mosaic pipeline the
-#: dynamic-slice reads across chunks. Measured at 1M/gx=128: unroll 1/2/
-#: 4/8 -> 6.3/5.4/4.2/6.0 ms sweep; 4 is the sweet spot.
-UNROLL = 4
+#: Default pair-loop unroll (the kernel walks chunk PAIRS — one stream
+#: row each). The rolled sweep is per-chunk *overhead* bound (~380
+#: cycles/chunk at any rpw on v5e — the row tests are nearly free next
+#: to the loop carry); unrolling lets Mosaic pipeline the dynamic-slice
+#: reads across pairs. Measured at 1M/gx=128 pre-pairing: chunk unroll
+#: 1/2/4/8 -> 6.3/5.4/4.2/6.0 ms sweep (4 = 2 pairs the sweet spot);
+#: post-pairing pair unroll 1/2/4 -> 3.70/3.82/3.71 ms plan+sweep.
+UNROLL = 1
 
 
 def _make_slab_masks_kernel(gx, mc, slab_rows, rpw, kg, direct_stream,
