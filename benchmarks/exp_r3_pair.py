@@ -59,14 +59,36 @@ def main():
     out = {}
     for unroll in (1, 2, 4):
         def kstep(s, unroll=unroll):
+            # Data-depend each iteration through ONE unused SMEM table
+            # entry (starts[gx+1] is never read by the count kernel) —
+            # perturbing the stream itself would add a ~32 MB
+            # materialization to every "kernel-only" sample (advisor
+            # r3 finding).
+            bump = jnp.where(s < jnp.float32(1e30), 0, 1).astype(jnp.int32)
             c, _ = _slab_count(
-                plan.stream.at[0, 0, 0].add(s * 0) + s * jnp.float32(1e-12),
-                plan.starts, plan.slab_r0, plan.w0, wcap_c,
+                plan.stream,
+                plan.starts.at[plan.gx + 1].add(bump),
+                plan.slab_r0, plan.w0, wcap_c,
                 plan.gx, plan.mc, plan.slab_rows, 1, False, unroll)
             return c.astype(jnp.float32) * eps
         ms = chain_time(kstep)
         out[f"kernel_u{unroll}"] = round(ms, 3)
         print(f"kernel-only pair-unroll {unroll}: {ms:.3f} ms", flush=True)
+
+    for unroll in (2, 4):
+        def fstep(s, unroll=unroll):
+            c2 = coords + s * jnp.float32(1e-12)
+            p = plan_slabs(c2, radii, gx, col_cap, slab_rows)
+            cnt, _ = _slab_count(
+                p.stream, p.starts, p.slab_r0, p.w0,
+                jnp.minimum(p.wcap, LANE),
+                p.gx, p.mc, p.slab_rows, 1, False, unroll)
+            r, _ = residual_count(p, RESIDUAL_JOBS)
+            return (cnt + r).astype(jnp.float32) * eps
+        ms = chain_time(fstep)
+        out[f"step_u{unroll}"] = round(ms, 3)
+        print(f"full dual step, pair-unroll {unroll}: {ms:.3f} ms",
+              flush=True)
 
     def full_step(s):
         c2 = coords + s * jnp.float32(1e-12)

@@ -13,10 +13,17 @@ Unlike the reference (whose ``collision/__init__.py`` is empty and forces
 submodule imports), the public surface is re-exported here.
 """
 
-from .collider import Collider, CollisionResult, collide, interpret_kernels
+from .collider import (
+    Collider,
+    CollisionResult,
+    collide,
+    collide_exact,
+    interpret_kernels,
+)
 from .columns import ColumnPlan, default_column_config, plan_columns
 from .slabs import SlabPlan, default_slab_config, plan_slabs
 from .fill import candidate_count, mask_fill, run_fill
+from .hetero import default_nb, hetero_collide
 from .grid import GridCounts, build_grid, grid_count
 from .sim import simulate
 from .lbvh import LBVH, NO_NODE, build, leaf_bounds, refit
@@ -56,6 +63,7 @@ __all__ = [
     "Collider",
     "CollisionResult",
     "collide",
+    "collide_exact",
     "interpret_kernels",
     "ColumnPlan",
     "default_column_config",
@@ -66,6 +74,8 @@ __all__ = [
     "candidate_count",
     "mask_fill",
     "run_fill",
+    "default_nb",
+    "hetero_collide",
     "GridCounts",
     "build_grid",
     "grid_count",

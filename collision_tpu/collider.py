@@ -80,6 +80,21 @@ class CollisionResult(NamedTuple):
 GRID_AUTO_THRESHOLD = 65536
 COLUMN_AUTO_THRESHOLD = GRID_AUTO_THRESHOLD
 
+#: Radius-spread factor above which eager "auto" routes to the
+#: two-level hetero engine: the scene is heterogeneous when parking the
+#: ``default_nb(n)`` largest spheres shrinks the interaction radius
+#: (small-class r_max) by more than this factor — below it the plain
+#: engines' windows only widen ~4x, which the rpw ladder absorbs;
+#: above it a single giant radius collapses the slab/column resolution
+#: entirely (hetero.py). The hetero step costs ~2.3x the uniform count
+#: (measured, BASELINE.md), so routing is deliberately conservative.
+HETERO_ROUTE_FACTOR = 4.0
+
+#: Smallest n at which eager "auto" pays the radius-spread probe; below
+#: it the column engine with exact retry knobs handles any radius
+#: distribution in ~ms (crossover table below).
+HETERO_AUTO_MIN = 16384
+
 #: n at or above which "auto" prefers the slab engine for count-only
 #: steps. Measured crossover on v5e (benchmarks/exp_r3_crossover.py,
 #: uniform scenes, ms/step, results_v5e_round3.jsonl):
@@ -312,9 +327,12 @@ def _slab_collide(coords, radii, capacity, gx, col_capacity, slab_rows,
             return CollisionResult(
                 count.astype(jnp.uint32), None, lo_scene, hi_scene,
                 ok=plan.ok & d_ok)
+        # Dual-dispatch fill: masks at ONE rolled row (windows clamped
+        # to 128 lanes) + residual-pair append — no rows-per-window
+        # knob, mirroring the dual count (VERDICT r3 item 3).
         ida, idb, total, ok = slab_mask_fill(
             coords, radii, capacity, gx, col_capacity, slab_rows,
-            rpw=rpw, interpret=interp)
+            rpw=rpw, interpret=interp, dual=True)
         pairs = jnp.stack([ida, idb], axis=1)
         return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
     # Portable path (CPU tests, float64): the run-expansion pipeline is
@@ -325,6 +343,67 @@ def _slab_collide(coords, radii, capacity, gx, col_capacity, slab_rows,
         coords, radii, capacity, default_column_config(coords.shape[0])[0],
         cand_capacity)
     return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
+
+
+def _hetero_collide(coords, radii, capacity, nb, rpw, cand_capacity,
+                    lo_scene, hi_scene, kernel_mode="native"):
+    """Hetero-engine frame: two-level radius bucketing (hetero.py).
+
+    The TPU answer to the reference traversal's radius-agnosticism
+    (collision.cl:174-226): the ``nb`` largest spheres are parked out of
+    the column pass and enumerated by dense big-vs-stream /
+    big-vs-big passes, so one giant radius no longer collapses the
+    column resolution. On CPU/f64 without interpret mode the portable
+    run-expansion pipeline applies (exact at input precision, with the
+    same ok contract).
+    """
+    from .columns import CHUNK
+    from .hetero import hetero_collide
+
+    f32 = coords.dtype == jnp.float32
+    on_tpu = jax.default_backend() == "tpu" and f32
+    use_kernels = on_tpu or (kernel_mode == "interpret" and f32)
+    if use_kernels and coords.shape[0] > CHUNK:
+        pairs, total, ok = hetero_collide(
+            coords, radii, capacity, nb=nb, rpw=rpw,
+            interpret=not on_tpu)
+        return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
+    from .columns import default_column_config
+    from .fill import run_fill
+
+    pairs, total, ok = run_fill(
+        coords, radii, capacity, default_column_config(coords.shape[0])[0],
+        cand_capacity)
+    return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def _radius_spread(radii, nb):
+    """(r_max, r_small): the scene's max radius and the small-class max
+    after parking the ``nb`` largest — the hetero-routing statistic."""
+    top = jax.lax.top_k(jnp.asarray(radii, jnp.float32), nb + 1)[0]
+    return top[0], top[nb]
+
+
+def _route_hetero_eager(coords, radii, kernel_mode):
+    """True when an eager "auto" call should use the hetero engine.
+
+    Only consulted with concrete (non-traced) inputs: one tiny jitted
+    top-k probe reads the radius spread; traced calls (sim loops) keep
+    static routing and rely on the ok/retry contract. The probe costs
+    one scalar fetch — microseconds on real hardware."""
+    from .columns import CHUNK
+    from .hetero import default_nb
+
+    n = coords.shape[0]
+    if n < HETERO_AUTO_MIN or n <= CHUNK:
+        return False
+    f32 = jnp.asarray(coords).dtype == jnp.float32
+    on_tpu = jax.default_backend() == "tpu" and f32
+    if not (on_tpu or (kernel_mode == "interpret" and f32)):
+        return False
+    r_max, r_small = _radius_spread(radii, default_nb(n))
+    return float(r_max) > HETERO_ROUTE_FACTOR * float(r_small)
 
 
 def default_cand_capacity(n, capacity):
@@ -340,7 +419,7 @@ def default_cand_capacity(n, capacity):
 def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
             grid_dim=None, cell_capacity=None, gxy=None, col_capacity=None,
             slab_rows=None, rpw=DEFAULT_RPW, cand_capacity=None,
-            gx=None, kernel_mode=None):
+            gx=None, nb=None, kernel_mode=None):
     """One fully-jitted broad-phase step.
 
     Args:
@@ -350,12 +429,17 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
       stack_depth: static traversal-stack depth (reference uses 64).
       method: "slab" (x-sorted 2-offset slab sweep — the round-3 sparse
         fast path, slabs.py), "column" (z-sorted column sweep + mask
-        fill — the round-2 TPU fast path, columns.py/fill.py), "bvh"
-        (LBVH build + lockstep traversal, the reference architecture
-        re-designed for XLA), "grid" (round-1 dense uniform-grid
-        stencil + Pallas kernels, kept for parity), or "auto" (slab
-        count-only at n >= SLAB_AUTO_THRESHOLD, column for everything
-        else — measured crossover, never BVH).
+        fill — the round-2 TPU fast path, columns.py/fill.py), "hetero"
+        (two-level radius bucketing for mixed-radii scenes, hetero.py —
+        the radius-agnostic path matching the reference traversal's
+        contract, collision.cl:174-226), "bvh" (LBVH build + lockstep
+        traversal, the reference architecture re-designed for XLA),
+        "grid" (round-1 dense uniform-grid stencil + Pallas kernels,
+        kept for parity), or "auto" (slab count-only at n >=
+        SLAB_AUTO_THRESHOLD, column for everything else — measured
+        crossover, never BVH; eager calls with concrete inputs
+        additionally probe the radius spread and route heterogeneous
+        scenes to "hetero").
       grid_dim, cell_capacity: static legacy-grid knobs (see grid.py).
       gxy, col_capacity, slab_rows, rpw: static column-sweep knobs
         (columns.py); None resolves defaults from n at trace time. The
@@ -364,6 +448,8 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
         (fill.py); None resolves default_cand_capacity.
       gx: static slab count of the slab engine (slabs.py); None
         resolves default_slab_config.
+      nb: static big-set size of the hetero engine (hetero.py); None
+        resolves default_nb.
       kernel_mode: "native" (Pallas kernels on TPU, portable XLA
         elsewhere) or "interpret" (run the Pallas paths under the
         interpreter on CPU — test-only); None resolves from the
@@ -378,20 +464,25 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
     """
     if kernel_mode is None:
         kernel_mode = "interpret" if _INTERPRET_KERNELS else "native"
+    if (method == "auto"
+            and not isinstance(coords, jax.core.Tracer)
+            and not isinstance(radii, jax.core.Tracer)
+            and _route_hetero_eager(coords, radii, kernel_mode)):
+        method = "hetero"
     return _collide(
         coords, radii, capacity, stack_depth, method, grid_dim,
         cell_capacity, gxy, col_capacity, slab_rows, rpw, cand_capacity,
-        gx, kernel_mode)
+        gx, nb, kernel_mode)
 
 
 @partial(jax.jit, static_argnames=(
     "capacity", "stack_depth", "method", "grid_dim", "cell_capacity",
     "gxy", "col_capacity", "slab_rows", "rpw", "cand_capacity", "gx",
-    "kernel_mode"))
+    "nb", "kernel_mode"))
 def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
              method="auto", grid_dim=None, cell_capacity=None, gxy=None,
              col_capacity=None, slab_rows=None, rpw=DEFAULT_RPW,
-             cand_capacity=None, gx=None, kernel_mode="native"):
+             cand_capacity=None, gx=None, nb=None, kernel_mode="native"):
     coords = jnp.asarray(coords)
     radii = jnp.asarray(radii)
     n = coords.shape[0]
@@ -447,6 +538,11 @@ def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
             coords, radii, capacity, gxy, col_capacity, slab_rows, rpw,
             cand_capacity, lo_scene, hi_scene, kernel_mode=kernel_mode,
         )
+    if method == "hetero":
+        return _hetero_collide(
+            coords, radii, capacity, nb, rpw, cand_capacity,
+            lo_scene, hi_scene, kernel_mode=kernel_mode,
+        )
     if method == "grid":
         return _grid_collide(
             coords, radii, capacity, grid_dim, cell_capacity,
@@ -472,6 +568,26 @@ def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
     pairs, total, ok = find_pairs(
         tree, lo, hi, capacity, stack_depth=stack_depth, with_ok=True)
     return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
+
+
+def collide_exact(coords, radii, capacity, method="auto"):
+    """One broad-phase step with host-side exact-knob retries.
+
+    The functional analog of ``Collider.get_collisions``'s retry chain
+    (reallocate-and-retry, as the reference's resize contract,
+    collision.py:84-119): one ``collide`` attempt, then — on a
+    static-knob overflow — exact-stats column retries, the hetero
+    engine, and finally the always-exact BVH. Requires concrete
+    (non-traced) inputs; returns a :class:`CollisionResult` whose ``ok``
+    is True (or None) unless every engine's ladder was exhausted.
+    """
+    coords = jnp.asarray(coords)
+    c = Collider(coords.shape[0], coord_dtype=np.dtype(coords.dtype.name),
+                 method=method)
+    result = collide(coords, radii, capacity, method=method)
+    if result.ok is not None and not bool(result.ok):
+        result = c._retry_exact(coords, jnp.asarray(radii), capacity)
+    return result
 
 
 class Collider:
@@ -610,6 +726,19 @@ class Collider:
         on_tpu = jax.default_backend() == "tpu"
         f32 = self.coord_dtype == np.float32
         if f32 and (on_tpu or _INTERPRET_KERNELS):
+            # Radius-driven blowups never fit any column ladder — a
+            # heterogeneous radius spread routes straight to the
+            # two-level hetero engine (the reference capability:
+            # radius-agnostic traversal, collision.cl:174-226).
+            if self.size > 64:
+                from .hetero import default_nb
+
+                r_max, r_small = _radius_spread(
+                    jnp.asarray(radii, jnp.float32), default_nb(self.size))
+                if float(r_max) > HETERO_ROUTE_FACTOR * float(r_small):
+                    res = self._hetero_exact(coords, radii, capacity)
+                    if res is not None:
+                        return res
             # Count sweep / mask fill: the column plan reports the exact
             # column occupancy / slab height / window row span it needs.
             gxy, col_cap, slab_rows = default_column_config(self.size)
@@ -634,6 +763,12 @@ class Collider:
                 # the full window tables).
                 col_cap = max(col_cap, need_col)
                 slab_rows = max(slab_rows, need_slab)
+            # Mild heterogeneity below the routing factor can still blow
+            # the column ladder; try the hetero engine before paying the
+            # seconds-scale BVH fallback.
+            res = self._hetero_exact(coords, radii, capacity)
+            if res is not None:
+                return res
             return self._bvh_exact(coords, radii, capacity)
         # Fill (or CPU/f64 count): the run-expansion pipeline needs a
         # larger candidate bound; its exact requirement is one cheap
@@ -647,6 +782,23 @@ class Collider:
             if bool(res.ok):
                 return res
         return self._bvh_exact(coords, radii, capacity)
+
+    def _hetero_exact(self, coords, radii, capacity):
+        """Hetero-engine retry, walking the rows-per-window ladder (the
+        right rung depends on the parked small-class r_max, known only
+        after the split). Returns None when the engine never reaches
+        ok=True (or the scene is too small for it) — the caller then
+        falls back to the always-exact BVH."""
+        from .kernels.sweep import RPW_LADDER
+
+        if self.size <= 64:
+            return None
+        for rpw in RPW_LADDER[:8]:
+            res = collide(coords, radii, capacity, method="hetero",
+                          rpw=rpw)
+            if res.ok is not None and bool(res.ok):
+                return res
+        return None
 
     def _bvh_exact(self, coords, radii, capacity):
         """Last-resort BVH collide, escalating the traversal-stack depth

@@ -775,7 +775,7 @@ def run_fill(coords, radii, capacity, gxy, cand_capacity, chunk=1 << 20):
 
 def slab_mask_fill(coords, radii, capacity, gx, col_capacity, slab_rows,
                    rpw=1, interpret=False, kcap=None, emit_blk=None,
-                   emit_mode=None):
+                   emit_mode=None, dual=False):
     """Sparse-emission pair fill over the slab engine's 2-offset masks.
 
     The slab analog of :func:`mask_fill`: the rolled slab masks kernel
@@ -784,35 +784,56 @@ def slab_mask_fill(coords, radii, capacity, gx, col_capacity, slab_rows,
     them (``noff=2``, rolled window rows). Returns
     (ida[capacity], idb[capacity], total, ok). Huge capacities use the
     blocked big-fill emission, as in :func:`mask_fill`.
+
+    ``dual=True`` removes the rows-per-window knob the way the dual
+    count does (kernels/slab_sweep.slab_count_dual): the masks kernel
+    always runs at ONE rolled row with windows clamped to 128 lanes,
+    and the rare clipped remainders are enumerated by
+    :func:`~collision_tpu.slabs.residual_pairs` and appended after the
+    mask pairs. ``rpw`` is ignored; ``ok`` covers the residual-job and
+    residual-pair capacities instead of ``rows_rolled <= rpw``.
     """
     return _slab_mask_fill_impl(
         coords, radii, int(capacity), int(gx), int(col_capacity),
         int(slab_rows), int(rpw), bool(interpret),
         None if kcap is None else int(kcap),
         None if emit_blk is None else int(emit_blk),
-        emit_mode)
+        emit_mode, bool(dual))
 
 
 @partial(jax.jit, static_argnames=(
     "capacity", "gx", "col_capacity", "slab_rows", "rpw", "interpret",
-    "kcap", "emit_blk", "emit_mode"))
+    "kcap", "emit_blk", "emit_mode", "dual"))
 def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
                          slab_rows, rpw, interpret, kcap=None,
-                         emit_blk=None, emit_mode=None):
+                         emit_blk=None, emit_mode=None, dual=False):
+    from .columns import LANE
     from .kernels.slab_sweep import slab_sweep_masks
-    from .slabs import plan_slabs
+    from .slabs import plan_slabs, residual_pairs
 
     plan = plan_slabs(
         jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
         gx, col_capacity, slab_rows)
-    B = slab_sweep_masks(plan, rpw=rpw, interpret=interpret)
+    if dual:
+        rpw = 1
+        sweep_plan = plan._replace(wcap=jnp.minimum(plan.wcap, LANE))
+    else:
+        sweep_plan = plan
+    B = slab_sweep_masks(sweep_plan, rpw=rpw, interpret=interpret)
     # One native-layout popcount pass shared with emission (see
     # _mask_fill_impl).
     rp = jnp.sum(jax.lax.population_count(B).astype(jnp.int32), axis=2,
                  dtype=jnp.int32)                      # [NB, rows]
-    total = jnp.sum(rp, dtype=jnp.int32)
-    ok = plan.ok & (plan.rows_rolled <= rpw) \
-        & (jnp.sum(rp.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26))
+    mask_total = jnp.sum(rp, dtype=jnp.int32)
+    no_wrap = jnp.sum(rp.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26)
+    if dual:
+        rida, ridb, rcount, r_ok = residual_pairs(plan,
+                                                  interpret=interpret)
+        total = mask_total + rcount
+        ok = plan.ok & r_ok & no_wrap
+    else:
+        total = mask_total
+        ok = plan.ok & (plan.rows_rolled <= rpw) & no_wrap
     if capacity == 0:
         return (jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.uint32),
                 total.astype(jnp.uint32), ok)
@@ -822,5 +843,18 @@ def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
                       emit_mode)
     ida, idb, trunc_safe = emit(
         B, plan.starts, plan.w0.reshape(-1), plan.mc, ids_flat, capacity,
-        rpw, total, kcap, noff=2, rolled=True, rp=rp)
+        rpw, mask_total, kcap, noff=2, rolled=True, rp=rp)
+    if dual:
+        # Append the residual pairs after the mask pairs, preserving the
+        # truncate-at-capacity + 0xFFFFFFFF-sentinel contract.
+        NO_PAIR = jnp.uint32(0xFFFFFFFF)
+        q = jnp.arange(capacity, dtype=jnp.int32)
+        tm = jnp.minimum(mask_total, capacity)
+        in_m = q < tm
+        qr = jnp.clip(q - tm, 0, rida.shape[0] - 1)
+        ida = jnp.where(in_m, ida, jnp.take(rida, qr))
+        idb = jnp.where(in_m, idb, jnp.take(ridb, qr))
+        live = q < jnp.minimum(total, capacity)
+        ida = jnp.where(live, ida, NO_PAIR)
+        idb = jnp.where(live, idb, NO_PAIR)
     return ida, idb, total.astype(jnp.uint32), ok & trunc_safe

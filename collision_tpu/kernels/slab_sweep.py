@@ -247,6 +247,12 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
                 azhi = aT[s0:s0 + CHUNK, 5:6]
                 # Dead slots clamp the SMEM table read into range (their
                 # window values are real but the all-inf a side kills m).
+                # One caveat when a slab OVERFLOWED col_capacity
+                # (plan.ok=False) and mc is odd: the paired loop then
+                # tests live lanes of chunk mc against chunk mc-1's
+                # clamped window, which can OVERcount — acceptable
+                # because a plan.ok=False result is discarded and
+                # retried by the host (the exact-iff-ok contract).
                 tbase = jnp.minimum(k, mc - 1) * 2
 
                 for dx in offsets:
@@ -311,8 +317,11 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
 #: cycles/chunk at any rpw on v5e — the row tests are nearly free next
 #: to the loop carry); unrolling lets Mosaic pipeline the dynamic-slice
 #: reads across pairs. Measured at 1M/gx=128 pre-pairing: chunk unroll
-#: 1/2/4/8 -> 6.3/5.4/4.2/6.0 ms sweep (4 = 2 pairs the sweet spot);
-#: post-pairing pair unroll 1/2/4 -> 3.70/3.82/3.71 ms plan+sweep.
+#: 1/2/4/8 -> 6.3/5.4/4.2/6.0 ms sweep (4 = 2 pairs the sweet spot).
+#: Post-pairing, full-step times at pair unroll 1/2/4 were
+#: indistinguishable within the session's ~0.8 ms variance
+#: (results_v5e_round3.jsonl; benchmarks/exp_r3_pair.py measures each
+#: unroll's full step), so 1 is kept for the smallest kernel.
 UNROLL = 1
 
 

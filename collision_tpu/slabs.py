@@ -109,29 +109,22 @@ def _xbits_z(gx):
 RESIDUAL_JOBS = 256
 
 
-def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS, dmin=0):
-    """(count, ok) for window lanes beyond the first 128.
+def _residual_mask(plan: SlabPlan, j_cap, dmin):
+    """Shared residual-job machinery: the [J, 256, 256] overlap mask of
+    every clipped window remainder, plus the per-job id channels.
 
-    The dual-dispatch count runs the Pallas slab sweep at a static one
-    row per window with ``wcap`` clamped to 128 lanes, then counts the
-    clipped remainders here: the plan's window table identifies every
-    (chunk, offset) whose window exceeds 128 lanes (rare by
-    construction — default_slab_config targets ~88-lane windows), the
-    job list is compacted to ``j_cap`` slots, and each job's residual
-    lanes [w0+128, w0+wcap) are tested against its full chunk with one
-    dense vectorized compare — no Pallas, no per-job control flow.
-    ``ok`` is False when the job list or the one-residual-row bound
-    (windows wider than 256 lanes) overflowed; the caller falls back to
-    the escalated-rpw rolled kernel, so results are never silently
-    wrong.
+    The plan's window table identifies every (chunk, offset) whose
+    window exceeds 128 lanes (rare by construction —
+    default_slab_config targets ~88-lane windows); the job list is
+    compacted to ``j_cap`` slots and each job's residual lanes
+    [w0+128, w0+wcap) are tested against its full chunk with one dense
+    vectorized compare — no Pallas, no per-job control flow. ``ok`` is
+    False when the job list or the one-residual-row bound (windows
+    wider than 256 lanes) overflowed.
 
-    ``dmin`` restricts residual pairs to sorted-index distance
-    ``j - i > dmin`` — the diagonal count path
-    (kernels/slab_sweep.slab_count_diag) covers every pair within
-    ``dmin`` positions itself, so its residuals must exclude them. At
-    ``dmin == 0`` the mask is vacuous for self jobs (their lanes start
-    at w0 + 128 > any chunk index) and correct for cross jobs (slab
-    x+1 indices always exceed slab x indices).
+    Returns (m, a_idf, b_idf, ok): m bool[J, 256, 256]; a_idf/b_idf
+    f32[J, 256] — the id channel (bit patterns) of the fetched a/b
+    lanes, for pair extraction.
     """
     from .ops.scan import inclusive_scan
 
@@ -165,8 +158,8 @@ def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS, dmin=0):
     rows = jnp.stack(
         [arow, arow + 1, brow, brow + 1], axis=1)       # [J, 4]
     quad = jnp.take(stream, rows, axis=0)               # [J, 4, 8, 128]
-    a6 = quad[:, :2, :6].reshape(-1, 2, 6, LANE)
-    b6 = quad[:, 2:, :6].reshape(-1, 2, 6, LANE)
+    a6 = quad[:, :2, :7].reshape(-1, 2, 7, LANE)
+    b6 = quad[:, 2:, :7].reshape(-1, 2, 7, LANE)
     # Global sorted positions of the fetched lanes.
     lane2 = jnp.arange(2 * LANE, dtype=jnp.int32)
     apos = arow[:, None] * LANE + lane2[None, :]        # [J, 256]
@@ -190,7 +183,70 @@ def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS, dmin=0):
     m &= comp(a6, 1)[:, :, None] < comp(b6, 4)[:, None, :]
     m &= comp(a6, 5)[:, :, None] > comp(b6, 2)[:, None, :]
     m &= comp(a6, 2)[:, :, None] < comp(b6, 5)[:, None, :]
+    return m, comp(a6, 6), comp(b6, 6), ok
+
+
+def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS, dmin=0):
+    """(count, ok) for window lanes beyond the first 128.
+
+    The dual-dispatch count runs the Pallas slab sweep at a static one
+    row per window with ``wcap`` clamped to 128 lanes, then counts the
+    clipped remainders here via :func:`_residual_mask`. ``ok`` is False
+    when the job list or the one-residual-row bound overflowed; the
+    caller falls back to the escalated-rpw rolled kernel, so results
+    are never silently wrong.
+
+    ``dmin`` restricts residual pairs to sorted-index distance
+    ``j - i > dmin`` — the diagonal count path
+    (kernels/slab_sweep.slab_count_diag) covers every pair within
+    ``dmin`` positions itself, so its residuals must exclude them. At
+    ``dmin == 0`` the mask is vacuous for self jobs (their lanes start
+    at w0 + 128 > any chunk index) and correct for cross jobs (slab
+    x+1 indices always exceed slab x indices).
+    """
+    m, _, _, ok = _residual_mask(plan, j_cap, dmin)
     return jnp.sum(m, dtype=jnp.int32), ok
+
+
+#: Default residual-PAIR capacity of the dual-dispatch fill: clipped
+#: windows are rare (see RESIDUAL_JOBS) and each holds at most 128
+#: residual lanes x 64 chunk rows, but true residual pairs track the
+#: job count closely on real scenes; overflow is detected (ok=False).
+RESIDUAL_PAIRS = 4096
+
+
+def residual_pairs(plan: SlabPlan, j_cap=RESIDUAL_JOBS,
+                   p_cap=RESIDUAL_PAIRS, dmin=0, interpret=False):
+    """(ida[p_cap], idb[p_cap], count, ok): original-id pairs of the
+    clipped window remainders — the fill-side counterpart of
+    :func:`residual_count`, letting the slab mask fill run its Pallas
+    sweep at a static ONE row per window (wcap clamped to 128) with no
+    rows-per-window knob. Dead slots hold 0xFFFFFFFF; ``ok`` is False
+    when the job list, the one-residual-row bound, or ``p_cap``
+    overflowed (the result is then a correct prefix)."""
+    from .kernels.compact import compact_mask
+
+    NO_PAIR = jnp.uint32(0xFFFFFFFF)
+    m, a_idf, b_idf, ok = _residual_mask(plan, j_cap, dmin)
+    count = jnp.sum(m, dtype=jnp.int32)
+    ok = ok & (count <= p_cap)
+    idx, _ = compact_mask(m.reshape(-1), max(p_cap, 8),
+                          interpret=interpret)
+    idx = idx[:p_cap]
+    live = idx != NO_PAIR
+    fl = jnp.minimum(idx, jnp.uint32(m.size - 1)).astype(jnp.int32)
+    L2 = 2 * LANE
+    j = fl // (L2 * L2)
+    rem = fl % (L2 * L2)
+    ai = rem // L2
+    bi = rem % L2
+    ida = jax.lax.bitcast_convert_type(
+        jnp.take(a_idf.reshape(-1), j * L2 + ai), jnp.uint32)
+    idb = jax.lax.bitcast_convert_type(
+        jnp.take(b_idf.reshape(-1), j * L2 + bi), jnp.uint32)
+    ida = jnp.where(live, ida, NO_PAIR)
+    idb = jnp.where(live, idb, NO_PAIR)
+    return ida, idb, count, ok
 
 
 def plan_slabs(coords, radii, gx, col_capacity, slab_rows):

@@ -259,3 +259,70 @@ def test_slab_diag_same_z_cluster_flags():
         assert not bool(ok)
     cnt2, ok2 = slab_count_dual(plan, interpret=True)
     assert bool(ok2) and int(cnt2) == expected
+
+
+def test_slab_dual_fill_residuals():
+    # The fill analog of dual dispatch: masks at one clamped row +
+    # residual-pair append must reproduce the exact oracle set on a
+    # scene whose windows exceed 128 lanes (VERDICT r3 item 3).
+    from collision_tpu.fill import slab_mask_fill
+    from collision_tpu.testing import pair_array_to_set
+
+    rng = np.random.RandomState(17)
+    n = 900
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.05, n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    plan = plan_slabs(jnp.asarray(coords), jnp.asarray(radii),
+                      gx=2, col_capacity=512, slab_rows=8)
+    assert bool(plan.ok) and int(plan.rows_rolled) >= 2
+    cap = len(expected) + 8
+    ida, idb, total, ok = slab_mask_fill(
+        coords, radii, cap, 2, 512, 8, interpret=True, dual=True)
+    assert bool(ok)
+    assert int(total) == len(expected)
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(ida)[:int(total)],
+                           np.asarray(idb)[:int(total)])}
+    assert got == expected
+    assert (np.asarray(ida)[int(total):] == 0xFFFFFFFF).all()
+
+    # Truncate-at-capacity contract with residuals in play.
+    cap2 = max(len(expected) - 5, 4)
+    ida2, idb2, total2, ok2 = slab_mask_fill(
+        coords, radii, cap2, 2, 512, 8, interpret=True, dual=True)
+    assert int(total2) == len(expected)
+    got2 = {(min(a, b), max(a, b))
+            for a, b in zip(np.asarray(ida2)[:cap2],
+                            np.asarray(idb2)[:cap2])}
+    assert got2 <= expected and len(got2) == cap2
+
+
+def test_slab_dual_fill_overflow_detected():
+    # Windows wider than 256 lanes exceed the one-residual-row bound:
+    # the dual fill must report ok=False, and the rpw-ladder fill stays
+    # exact.
+    from collision_tpu.fill import slab_mask_fill
+
+    rng = np.random.RandomState(19)
+    n = 1200
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.25, n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    plan = plan_slabs(jnp.asarray(coords), jnp.asarray(radii),
+                      gx=1, col_capacity=1216, slab_rows=12)
+    assert bool(plan.ok)
+    need = int(plan.rows_rolled)
+    cap = len(expected) + 8
+    _, _, _, ok = slab_mask_fill(
+        coords, radii, cap, 1, 1216, 12, interpret=True, dual=True)
+    if need > 2:
+        assert not bool(ok)
+    rpw = next(r for r in RPW_LADDER if r >= need)
+    ida, idb, total, ok2 = slab_mask_fill(
+        coords, radii, cap, 1, 1216, 12, rpw=rpw, interpret=True)
+    assert bool(ok2) and int(total) == len(expected)
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(np.asarray(ida)[:int(total)],
+                           np.asarray(idb)[:int(total)])}
+    assert got == expected
