@@ -45,15 +45,17 @@ def main():
     capacity = 16384
     rng = np.random.RandomState(4)
     coords = jnp.asarray(rng.random((n, 3)).astype("float32"))
-    radii = jnp.asarray(
-        (0.0005 * (1 + rng.pareto(1.2, n))).clip(0, 0.2).astype("float32"))
+    # The round-3 power-law scene (exp_r3_hetero.py:40-43), for
+    # comparable numbers: pareto(2.5) tail clipped at 0.05.
+    r = (1.0 / n ** 0.5) * (rng.pareto(2.5, n) + 0.2)
+    radii = jnp.asarray(np.clip(r, 0, 0.05).astype("float32"))
     nb = int(sys.argv[1]) if len(sys.argv) > 1 else default_nb(n)
     print("backend:", jax.devices()[0].platform, "nb:", nb, flush=True)
     out = {"nb": nb}
 
     # Resolve the parked plan's rpw once (what the host ladder would do).
     _, bidx = jax.lax.top_k(radii, nb)
-    parked = radii.at[bidx.astype(jnp.int32)].set(-1.0)
+    parked = radii.at[bidx.astype(jnp.int32)].set(-jnp.inf)
     gxy, col_cap, slab_rows = default_column_config(n)
     plan = plan_columns(coords, parked, gxy, col_cap, slab_rows)
     if not bool(plan.ok):
@@ -94,14 +96,14 @@ def main():
     # Stages.
     def stage_plan(c):
         _, bi = jax.lax.top_k(radii, nb)
-        pk = radii.at[bi.astype(jnp.int32)].set(-1.0)
+        pk = radii.at[bi.astype(jnp.int32)].set(-jnp.inf)
         p = plan_columns(c, pk, gxy, col_cap, slab_rows)
         return p.stream[0, 0, 0] + p.max_col.astype(jnp.float32)
     time_step("plan_ms", stage_plan)
 
     def stage_masks(c):
         _, bi = jax.lax.top_k(radii, nb)
-        pk = radii.at[bi.astype(jnp.int32)].set(-1.0)
+        pk = radii.at[bi.astype(jnp.int32)].set(-jnp.inf)
         p = plan_columns(c, pk, gxy, col_cap, slab_rows)
         B = sweep_masks(p, rpw=rpw, interpret=False)
         rp = jnp.sum(jax.lax.population_count(B).astype(jnp.int32),
@@ -112,7 +114,7 @@ def main():
     def stage_bigcount(c):
         _, bi = jax.lax.top_k(radii, nb)
         bi = bi.astype(jnp.int32)
-        pk = radii.at[bi].set(-1.0)
+        pk = radii.at[bi].set(-jnp.inf)
         p = plan_columns(c, pk, gxy, col_cap, slab_rows)
         bt = _bigs_table(c, radii, bi, nb)
         tot, okb = big_count_only(bt, p.stream, interpret=False)
@@ -122,7 +124,7 @@ def main():
     def stage_bigpairs(c):
         _, bi = jax.lax.top_k(radii, nb)
         bi = bi.astype(jnp.int32)
-        pk = radii.at[bi].set(-1.0)
+        pk = radii.at[bi].set(-jnp.inf)
         p = plan_columns(c, pk, gxy, col_cap, slab_rows)
         bt = _bigs_table(c, radii, bi, nb)
         ba, bb, tot, okb = big_pairs(bt, p.stream, capacity,

@@ -204,13 +204,15 @@ def _plan_columns(coords, radii, gxy, col_capacity, slab_rows):
         return jnp.full((npad,), fill, jnp.float32).at[:n].set(v)
 
     idf = jax.lax.bitcast_convert_type(ids_s, jnp.float32)
-    comps = jnp.stack([
+    # Stack on axis 1, not stack+transpose (see slabs.py: the 32 MB XLA
+    # transpose ran ~7x off bandwidth; the axis-1 concat does not).
+    comp_rows = [
         padto(x_s - r_s, jnp.inf), padto(y_s - r_s, jnp.inf),
         padto(z_s - r_s, jnp.inf), padto(x_s + r_s, jnp.inf),
         padto(y_s + r_s, jnp.inf), padto(z_s + r_s, jnp.inf),
         padto(idf, jnp.inf), jnp.full((npad,), jnp.inf, jnp.float32),
-    ])  # [8, npad]
-    stream = jnp.transpose(comps.reshape(8, Rp, LANE), (1, 0, 2))
+    ]
+    stream = jnp.stack([v.reshape(Rp, LANE) for v in comp_rows], axis=1)
 
     # --- exact per-chunk z ranges (two-row strip gather + masked reduce) ---
     nseg = npad // CHUNK

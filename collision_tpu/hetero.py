@@ -7,10 +7,11 @@ sphere collapses the xy resolution and a power-law-radii scene used to
 fall through to the seconds-per-step BVH fallback (VERDICT r2 item 3).
 
 This engine splits the scene by radius: the ``nb`` largest spheres (the
-*big* set B) are parked out of the column pass — radius -1 gives them an
-empty AABB that can never pass the strict overlap test while keeping the
-sphere in its column slot, so n stays static and the scene bounds are
-untouched — and the column engine runs at the *small* class's r_max.
+*big* set B) are parked out of the column pass — radius -inf gives them
+an empty AABB ([+inf, -inf], empty at any coordinate magnitude) that can
+never pass the strict overlap test while keeping the sphere in its
+column slot, so n stays static and the scene bounds are untouched — and
+the column engine runs at the *small* class's r_max.
 The three pair classes are then enumerated separately and disjointly:
 
   S-S: the parked column plan (sweep/fill kernels, exact as ever);
@@ -91,9 +92,14 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
         raise ValueError("hetero engine needs n > 64 spheres")
 
     # --- split: park the nb largest radii out of the column pass ---
+    # Parked radius is -inf, NOT a finite negative: lo = x - r = +inf,
+    # hi = x + r = -inf is empty at ANY coordinate magnitude, whereas
+    # x +/- 1 rounds back to x in f32 once |x| >= 2^24 — a point AABB
+    # that strictly overlaps its own big sphere (caught by the
+    # huge-magnitudes adversarial scene: nb phantom self-pairs).
     _, bidx = jax.lax.top_k(radii, nb)
     bidx = bidx.astype(jnp.int32)
-    parked = radii.at[bidx].set(-1.0)
+    parked = radii.at[bidx].set(-jnp.inf)
 
     if gxy is None or col_capacity is None or slab_rows is None:
         d_gxy, d_cc, d_sr = default_column_config(n)

@@ -64,58 +64,73 @@ def _make_big_kernel(nbc, rb, capacity, direct):
             m &= (aT[:, 5:6] > b8[2:3, :]) & (aT[:, 2:3] < b8[5:6, :])
             return m
 
-        # Per-ROW gating, not per-tile: the per-tile scalar reduction
-        # (cnt = sum(m)) serializes the pipeline — the same measured
-        # cost that capped the streaming fill (design.md "Streaming
-        # emission and the per-window sync cost"). One vector-OR
-        # accumulator per row collapses nbc scalar syncs into one, and
-        # the (rare) rows with hits recompute their masks on the slow
-        # path.
+        # Totals come from a pure VECTOR accumulator across every row —
+        # the big_count kernel's shape, zero scalar syncs — and the
+        # extraction slow path is scalar-predicated on buffer room:
+        # once the capacity fills, rows cost only the vector pass.
+        # (Round-3 shipped per-hit-row extraction gated by a per-row
+        # scalar reduction; at 1M power-law, giant bigs make most rows
+        # hit rows, and the row syncs + per-chunk cnt syncs measured
+        # ~51 ms of the 72 ms hetero fill — exp_r4_hetero.py.)
         def r_body(r, acc):
             b8 = stream_ref[0, r]                      # [8, 128]
-            m_or = tile_mask(bigs_ref[0], b8)
             if nbc <= 32:
-                for c in range(1, nbc):
-                    m_or |= tile_mask(bigs_ref[c], b8)
+                for c in range(nbc):
+                    acc = acc + tile_mask(bigs_ref[c], b8).astype(
+                        jnp.int32)
             else:
-                m_or = jax.lax.fori_loop(
-                    1, nbc,
-                    lambda c, m: m | tile_mask(bigs_ref[c], b8), m_or)
-            row_cnt = jnp.sum(m_or, dtype=jnp.int32)   # 1 sync per row
+                # Static unrolling keeps nbc mask temporaries live on
+                # the Mosaic stack; big sets loop dynamically.
+                def c_body(c, a):
+                    return a + tile_mask(bigs_ref[c], b8).astype(
+                        jnp.int32)
+                acc = jax.lax.fori_loop(0, nbc, c_body, acc)
 
-            @pl.when(row_cnt > 0)
-            def _extract_row():
-                b_ids = jax.lax.bitcast_convert_type(
-                    b8[6:7, :], jnp.int32)
-
-                def chunk_extract(c, carry):
-                    aT = bigs_ref[c]
-                    m = tile_mask(aT, b8)
-                    cnt = jnp.sum(m, dtype=jnp.int32)
-                    a_ids = jax.lax.bitcast_convert_type(
-                        aT[:, 6:7], jnp.int32)
-
-                    @pl.when(cnt > 0)
-                    def _extract():
-                        W0 = pack_mask_words(m)
-                        trip = jnp.clip(emitter.remaining(), 0, cnt)
-                        extract_hits(W0, trip, emitter, a_ids, b_ids,
-                                     lane_i, sub_c)
-                    cur[2] = cur[2] + cnt
-                    curf[0] = curf[0] + cnt.astype(jnp.float32)
-                    return carry
-
+            @pl.when(emitter.remaining() > 0)
+            def _maybe_extract():
+                m_or = tile_mask(bigs_ref[0], b8)
                 if nbc <= 32:
-                    for c in range(nbc):
-                        chunk_extract(c, 0)
+                    for c in range(1, nbc):
+                        m_or |= tile_mask(bigs_ref[c], b8)
                 else:
-                    jax.lax.fori_loop(0, nbc, chunk_extract, 0)
+                    m_or = jax.lax.fori_loop(
+                        1, nbc,
+                        lambda c, m: m | tile_mask(bigs_ref[c], b8),
+                        m_or)
+                row_cnt = jnp.sum(m_or, dtype=jnp.int32)
+
+                @pl.when(row_cnt > 0)
+                def _extract_row():
+                    b_ids = jax.lax.bitcast_convert_type(
+                        b8[6:7, :], jnp.int32)
+
+                    def chunk_extract(c, carry):
+                        aT = bigs_ref[c]
+                        m = tile_mask(aT, b8)
+                        cnt = jnp.sum(m, dtype=jnp.int32)
+                        a_ids = jax.lax.bitcast_convert_type(
+                            aT[:, 6:7], jnp.int32)
+
+                        @pl.when(cnt > 0)
+                        def _extract():
+                            W0 = pack_mask_words(m)
+                            trip = jnp.clip(emitter.remaining(), 0, cnt)
+                            extract_hits(W0, trip, emitter, a_ids,
+                                         b_ids, lane_i, sub_c)
+                        return carry
+
+                    if nbc <= 32:
+                        for c in range(nbc):
+                            chunk_extract(c, 0)
+                    else:
+                        jax.lax.fori_loop(0, nbc, chunk_extract, 0)
             return acc
 
         acc = jax.lax.fori_loop(
-            0, rb, r_body, (jnp.int32(0), jnp.float32(0.0)))
-        cur[2] = cur[2] + acc[0]
-        curf[0] = curf[0] + acc[1]
+            0, rb, r_body, jnp.zeros((CHUNK, LANE), jnp.int32))
+        cur[2] = cur[2] + jnp.sum(acc, dtype=jnp.int32)
+        curf[0] = curf[0] + jnp.sum(acc.astype(jnp.float32),
+                                    dtype=jnp.float32)
 
         @pl.when(step == pl.num_programs(0) - 1)
         def _finish():

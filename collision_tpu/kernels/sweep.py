@@ -427,73 +427,90 @@ def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream,
         a1 = starts_ref[col + 1]
         k_lo = g * kg
 
-        def chunk_masks(k):
-            g0 = a0 + k * CHUNK
-            alen = jnp.minimum(a1 - g0, CHUNK)
+        def pair_masks(p):
+            # One stream row holds TWO chunks: one rolled a-read and ONE
+            # [6,128]->[128,6] transpose serve chunks 2p and 2p+1 (the
+            # a-side transpose is the sweep's dominant machinery —
+            # exp_r3_strip.py; the count kernel got this pairing in
+            # round 3). Dead chunks pack exact zeros via the all-inf a
+            # side, so every output slot is still written.
+            g0 = a0 + p * (2 * CHUNK)
+            alen = jnp.minimum(a1 - g0, 2 * CHUNK)
             a6 = read_aligned(g0)
             aT = jnp.swapaxes(a6, 0, 1)
             aT = jnp.where(sub_full < alen, aT, jnp.inf)
-            axlo = aT[:CHUNK, 0:1]
-            aylo = aT[:CHUNK, 1:2]
-            azlo = aT[:CHUNK, 2:3]
-            axhi = aT[:CHUNK, 3:4]
-            ayhi = aT[:CHUNK, 4:5]
-            azhi = aT[:CHUNK, 5:6]
-            # Clamp: when kg does not divide mc the last group's padded
-            # slots have k >= mc, which would read the window table out of
-            # bounds (the values are masked out either way — dead chunks
-            # carry all-inf a sides — but the dynamic SMEM read itself
-            # must stay in range on hardware).
-            tbase = (y * mc + jnp.minimum(k, mc - 1)) * 5
 
             packed_all = []
-            for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
-                w0 = w0_ref[0, 0, tbase + off]
-                wcap = wcap_ref[0, 0, tbase + off]
-                row_lo = w0 // LANE
+            for sub in range(2):
+                k = p * 2 + sub
+                g0s = g0 + sub * CHUNK
+                s0 = sub * CHUNK
+                axlo = aT[s0:s0 + CHUNK, 0:1]
+                aylo = aT[s0:s0 + CHUNK, 1:2]
+                azlo = aT[s0:s0 + CHUNK, 2:3]
+                axhi = aT[s0:s0 + CHUNK, 3:4]
+                ayhi = aT[s0:s0 + CHUNK, 4:5]
+                azhi = aT[s0:s0 + CHUNK, 5:6]
+                # Clamp: when kg does not divide mc the last group's
+                # padded slots have k >= mc, which would read the window
+                # table out of bounds (the values are masked out either
+                # way — dead chunks carry all-inf a sides — but the
+                # dynamic SMEM read itself must stay in range on
+                # hardware). As in the count kernel, an OVERFLOWED slab
+                # (plan.ok=False) with odd mc can pair live lanes of
+                # chunk mc against chunk mc-1's window; the garbage is
+                # discarded on the host retry.
+                tbase = (y * mc + jnp.minimum(k, mc - 1)) * 5
 
-                for r in range(rpw):
-                    # No row skipping and no zero-fill pass: rows past
-                    # the window (and dead chunks) have no in-window
-                    # lanes, so their packed words are exact zeros —
-                    # straight-line vector code beats branches on this
-                    # hardware (measured 2.1x on the count sweep).
-                    b6 = read_raw(dx, row_lo + r)
-                    jglob = (row_lo + r) * LANE + lane_i
-                    m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
-                    m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
-                    m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
-                    m &= (jglob >= w0) & (jglob < w0 + wcap)
-                    if off == 0:
-                        m &= jglob > g0 + sub_c
-                    bits = jnp.where(m, jnp.uint32(1) << shift,
-                                     jnp.uint32(0))
-                    half0 = bits[0:32]
-                    half1 = bits[32:64]
-                    for hw in (16, 8, 4, 2, 1):
-                        half0 = half0[:hw] + half0[hw:2 * hw]
-                        half1 = half1[:hw] + half1[hw:2 * hw]
-                    packed_all.append(half0)
-                    packed_all.append(half1)
+                for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
+                    w0 = w0_ref[0, 0, tbase + off]
+                    wcap = wcap_ref[0, 0, tbase + off]
+                    row_lo = w0 // LANE
+
+                    for r in range(rpw):
+                        # No row skipping and no zero-fill pass: rows
+                        # past the window (and dead chunks) have no
+                        # in-window lanes, so their packed words are
+                        # exact zeros — straight-line vector code beats
+                        # branches on this hardware (measured 2.1x on
+                        # the count sweep).
+                        b6 = read_raw(dx, row_lo + r)
+                        jglob = (row_lo + r) * LANE + lane_i
+                        m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
+                        m &= (ayhi > b6[1:2, :]) & (aylo < b6[4:5, :])
+                        m &= (azhi > b6[2:3, :]) & (azlo < b6[5:6, :])
+                        m &= (jglob >= w0) & (jglob < w0 + wcap)
+                        if off == 0:
+                            m &= jglob > g0s + sub_c
+                        bits = jnp.where(m, jnp.uint32(1) << shift,
+                                         jnp.uint32(0))
+                        half0 = bits[0:32]
+                        half1 = bits[32:64]
+                        for hw in (16, 8, 4, 2, 1):
+                            half0 = half0[:hw] + half0[hw:2 * hw]
+                            half1 = half1[:hw] + half1[hw:2 * hw]
+                        packed_all.append(half0)
+                        packed_all.append(half1)
             return packed_all
 
         def g_body(gq, _):
-            # ``unroll`` chunks per iteration (the sweep is per-chunk
-            # overhead bound — see kernels/slab_sweep.py UNROLL), merged
-            # into ONE dynamic store: consecutive chunks' block rows are
-            # adjacent in the output. Layout is [rows, 128] with rows =
-            # chunk-major, tile-slot, half-minor: a trailing [2, 128]
-            # axis pair would tile to (8, 128) on TPU and pad 4x.
-            k0 = k_lo + gq * unroll
+            # ``unroll`` chunk PAIRS per iteration (the sweep is
+            # per-chunk overhead bound — see kernels/slab_sweep.py
+            # UNROLL), merged into ONE dynamic store: consecutive
+            # chunks' block rows are adjacent in the output. Layout is
+            # [rows, 128] with rows = chunk-major, tile-slot,
+            # half-minor: a trailing [2, 128] axis pair would tile to
+            # (8, 128) on TPU and pad 4x.
+            p0 = k_lo // 2 + gq * unroll
             packed_all = []
             for t in range(unroll):
-                packed_all += chunk_masks(k0 + t)
+                packed_all += pair_masks(p0 + t)
             block = jnp.concatenate(packed_all, axis=0)
-            out_ref[0, pl.ds((k0 - k_lo) * 5 * rpw * 2,
-                             unroll * 5 * rpw * 2)] = block
+            out_ref[0, pl.ds(gq * unroll * 2 * (5 * rpw * 2),
+                             unroll * 2 * 5 * rpw * 2)] = block
             return 0
 
-        jax.lax.fori_loop(0, kg // unroll, g_body, 0)
+        jax.lax.fori_loop(0, kg // (2 * unroll), g_body, 0)
 
     return kernel
 
@@ -523,7 +540,9 @@ def _sweep_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
     kg, ng = mask_groups(mc, rpw)
     kgt = kg * 5 * rpw
     direct = bool(interpret)
-    unroll = next(u for u in (4, 2, 1) if kg % u == 0)
+    # ``unroll`` counts chunk PAIRS per store (mask_groups keeps kg a
+    # multiple of 4, so 2 pairs = 4 chunks per store always divides).
+    unroll = next(u for u in (2, 1) if kg % (2 * u) == 0)
     kernel = _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct,
                                 unroll)
 

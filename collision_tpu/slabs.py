@@ -356,7 +356,11 @@ def _plan_from_sorted(key_s, ids_s, x_s, y_s, z_s, r_s, size, gx, col0,
         return jnp.full((npad,), fill, jnp.float32).at[:n].set(v)
 
     idf = jax.lax.bitcast_convert_type(ids_s, jnp.float32)
-    comps = jnp.stack([
+    # Interleave as a stack on axis 1, not stack+transpose: the XLA
+    # transpose of the whole 32 MB stream ran at ~58 GB/s (1.1 ms at 1M,
+    # vs a 0.16 ms bandwidth SOL — round-3 plan_split_ms row); the
+    # 8-operand concat lowers to per-component strided copies.
+    comp_rows = [
         padto(x_s - r_s, jnp.inf), padto(y_s - r_s, jnp.inf),
         padto(z_s - r_s, jnp.inf), padto(x_s + r_s, jnp.inf),
         padto(y_s + r_s, jnp.inf), padto(z_s + r_s, jnp.inf),
@@ -365,8 +369,8 @@ def _plan_from_sorted(key_s, ids_s, x_s, y_s, z_s, r_s, size, gx, col0,
         # below 2^24), read by the diagonal kernel's same-slab check;
         # pad rows carry +inf and can never flag (their z is +inf too).
         padto(col_s.astype(jnp.float32), jnp.inf),
-    ])  # [8, npad]
-    stream = jnp.transpose(comps.reshape(8, Rp, LANE), (1, 0, 2))
+    ]
+    stream = jnp.stack([v.reshape(Rp, LANE) for v in comp_rows], axis=1)
 
     # --- exact per-chunk z ranges (two-row strip gather + masked reduce) ---
     nseg = npad // CHUNK
