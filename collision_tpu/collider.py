@@ -90,6 +90,14 @@ COLUMN_AUTO_THRESHOLD = GRID_AUTO_THRESHOLD
 #: (measured, BASELINE.md), so routing is deliberately conservative.
 HETERO_ROUTE_FACTOR = 4.0
 
+#: Largest rows-per-window rung the retry chain escalates to before
+#: preferring a finer grid (gxy x2). Matches the kernels' fully-unrolled
+#: regime (kernels/sweep.py ROWS_STATIC_MAX): higher rungs compile (the
+#: kernels switch to dynamic row loops) but sweep wide windows slowly,
+#: while a finer grid narrows the windows instead — cells clamp at
+#: 2*r_max, so a finer gxy never changes results.
+RPW_RETRY_MAX = 48
+
 #: Smallest n at which eager "auto" pays the radius-spread probe; below
 #: it the column engine with exact retry knobs handles any radius
 #: distribution in ~ms (crossover table below).
@@ -346,7 +354,8 @@ def _slab_collide(coords, radii, capacity, gx, col_capacity, slab_rows,
 
 
 def _hetero_collide(coords, radii, capacity, nb, rpw, cand_capacity,
-                    lo_scene, hi_scene, kernel_mode="native"):
+                    lo_scene, hi_scene, kernel_mode="native",
+                    gxy=None, col_capacity=None, slab_rows=None):
     """Hetero-engine frame: two-level radius bucketing (hetero.py).
 
     The TPU answer to the reference traversal's radius-agnosticism
@@ -365,7 +374,8 @@ def _hetero_collide(coords, radii, capacity, nb, rpw, cand_capacity,
     use_kernels = on_tpu or (kernel_mode == "interpret" and f32)
     if use_kernels and coords.shape[0] > CHUNK:
         pairs, total, ok = hetero_collide(
-            coords, radii, capacity, nb=nb, rpw=rpw,
+            coords, radii, capacity, nb=nb, gxy=gxy,
+            col_capacity=col_capacity, slab_rows=slab_rows, rpw=rpw,
             interpret=not on_tpu)
         return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
     from .columns import default_column_config
@@ -542,6 +552,7 @@ def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
         return _hetero_collide(
             coords, radii, capacity, nb, rpw, cand_capacity,
             lo_scene, hi_scene, kernel_mode=kernel_mode,
+            gxy=gxy, col_capacity=col_capacity, slab_rows=slab_rows,
         )
     if method == "grid":
         return _grid_collide(
@@ -744,15 +755,29 @@ class Collider:
             gxy, col_cap, slab_rows = default_column_config(self.size)
             c32 = jnp.asarray(coords, jnp.float32)
             r32 = jnp.asarray(radii, jnp.float32)
-            for _ in range(3):
+            ext_xy = float(jnp.max(
+                jnp.max(c32, axis=0)[:2] - jnp.min(c32, axis=0)[:2]))
+            r_max_all = float(jnp.max(r32))
+            last = None
+            for _ in range(6):
                 plan = plan_columns(c32, r32, gxy, col_cap, slab_rows)
                 need_col = int(round_up(int(plan.max_col), 64))
                 need_slab = int(plan.max_slab_rows) + 2
                 need_rpw = int(plan.rows_needed)
+                if (need_rpw > RPW_RETRY_MAX and gxy < 256
+                        and ext_xy / (2 * gxy) >= 2 * r_max_all):
+                    # Deep windows on a clustered scene: a finer grid
+                    # narrows them (cells clamp at 2*r_max, so a finer
+                    # gxy is always correct) — far cheaper than the
+                    # dynamic-row wide sweep the high rpw rungs cost.
+                    gxy *= 2
+                    _, col_cap, slab_rows = default_column_config(
+                        self.size, gxy=gxy)
+                    continue
                 if (need_col <= col_cap and need_slab <= slab_rows
                         and need_rpw <= RPW_LADDER[-1]):
                     rpw = next(r for r in RPW_LADDER if r >= need_rpw)
-                    res = collide(
+                    res = last = collide(
                         coords, radii, capacity, method="column", gxy=gxy,
                         col_capacity=col_cap, slab_rows=slab_rows, rpw=rpw,
                     )
@@ -769,41 +794,116 @@ class Collider:
             res = self._hetero_exact(coords, radii, capacity)
             if res is not None:
                 return res
-            return self._bvh_exact(coords, radii, capacity)
+            res = self._bvh_exact(coords, radii, capacity)
+            if res is not None:
+                return res
+            # BVH gated (see BVH_TPU_MAX): report the best attempt's
+            # honest ok=False rather than risk the device.
+            if last is not None:
+                return last
+            return collide(coords, radii, capacity, method="column",
+                           gxy=gxy, col_capacity=col_cap,
+                           slab_rows=slab_rows, rpw=RPW_LADDER[-1])
         # Fill (or CPU/f64 count): the run-expansion pipeline needs a
         # larger candidate bound; its exact requirement is one cheap
         # (expansion-free) evaluation away.
         gxy = default_column_config(self.size)[0]
         needed = float(candidate_count(coords, radii, gxy))
-        cand = int(needed * 1.02) + 1024
+        cand = min(int(needed * 1.02) + 1024, self.CAND_MAX)
+        res = None
         if needed < self.CAND_MAX:
             res = collide(coords, radii, capacity, method="column",
                           cand_capacity=cand)
             if bool(res.ok):
                 return res
-        return self._bvh_exact(coords, radii, capacity)
+        bres = self._bvh_exact(coords, radii, capacity)
+        if bres is not None:
+            return bres
+        # BVH gated on TPU (BVH_TPU_MAX): return the honest ok=False.
+        if res is None:
+            res = collide(coords, radii, capacity, method="column",
+                          cand_capacity=cand)
+        return res
 
     def _hetero_exact(self, coords, radii, capacity):
-        """Hetero-engine retry, walking the rows-per-window ladder (the
-        right rung depends on the parked small-class r_max, known only
-        after the split). Returns None when the engine never reaches
-        ok=True (or the scene is too small for it) — the caller then
-        falls back to the always-exact BVH."""
+        """Hetero-engine retry with plan-statistic knobs.
+
+        One parked plan per big-set size reports the exact capacities and
+        the rows-per-window rung (no blind ladder); if even the parked
+        small class needs wide windows, park MORE (nb x4, x16 — a smaller
+        small-class r_max narrows both the cells and the windows) before
+        giving up. Returns None when no split reaches ok=True (or the
+        scene is too small) — the caller then falls back to the BVH.
+        """
+        from .columns import CHUNK, default_column_config, plan_columns
+        from .hetero import default_nb
         from .kernels.sweep import RPW_LADDER
 
-        if self.size <= 64:
+        if self.size <= 2 * CHUNK:
             return None
-        for rpw in RPW_LADDER[:8]:
+        c32 = jnp.asarray(coords, jnp.float32)
+        r32 = jnp.asarray(radii, jnp.float32)
+        nb0 = default_nb(self.size)
+        nb_cap = max(CHUNK, (self.size // (2 * CHUNK)) * CHUNK)
+        tried = set()
+        for nb in (nb0, nb0 * 4, nb0 * 16):
+            nb = min(nb, nb_cap)
+            if nb in tried:
+                continue
+            tried.add(nb)
+            _, bidx = jax.lax.top_k(r32, nb)
+            parked = r32.at[bidx.astype(jnp.int32)].set(-jnp.inf)
+            gxy, col_cap, slab_rows = default_column_config(self.size)
+            ext_xy = float(jnp.max(
+                jnp.max(c32, axis=0)[:2] - jnp.min(c32, axis=0)[:2]))
+            r_small = float(jnp.max(parked))
+            need_rpw = None
+            for _ in range(5):
+                plan = plan_columns(c32, parked, gxy, col_cap, slab_rows)
+                need_col = int(round_up(int(plan.max_col), 64))
+                need_slab = int(plan.max_slab_rows) + 2
+                need_rpw = int(plan.rows_needed)
+                if bool(plan.ok) and need_rpw <= RPW_RETRY_MAX:
+                    break
+                if need_rpw > RPW_RETRY_MAX:
+                    if (gxy < 256
+                            and ext_xy / (2 * gxy) >= 2 * r_small):
+                        gxy *= 2
+                        _, col_cap, slab_rows = default_column_config(
+                            self.size, gxy=gxy)
+                        continue
+                    need_rpw = None  # this split can't fit; park more
+                    break
+                col_cap = max(col_cap, need_col)
+                slab_rows = max(slab_rows, need_slab)
+            if need_rpw is None or need_rpw > RPW_RETRY_MAX:
+                continue
+            rpw = next(r for r in RPW_LADDER if r >= max(need_rpw, 1))
             res = collide(coords, radii, capacity, method="hetero",
-                          rpw=rpw)
+                          nb=nb, rpw=rpw, gxy=gxy, col_capacity=col_cap,
+                          slab_rows=slab_rows)
             if res.ok is not None and bool(res.ok):
                 return res
         return None
 
+    #: On TPU the BVH last resort is size-gated: the lockstep traversal
+    #: at 10^5+ spheres on a hot scene runs for minutes — past the
+    #: remote worker's execution watchdog, which kills the *worker*
+    #: process, wedging every later call on the device (measured:
+    #: tests_tpu's 1e5 power-law scene with a BVH reference crashed the
+    #: v5e worker). An honest ok=False result beats a dead device; on
+    #: CPU the gate is off (no watchdog, and the CPU suite's BVH parity
+    #: tests run there).
+    BVH_TPU_MAX = 65536
+
     def _bvh_exact(self, coords, radii, capacity):
         """Last-resort BVH collide, escalating the traversal-stack depth
         if a push was clipped (the reference would silently corrupt its
-        traversal here, collision.cl:186-191)."""
+        traversal here, collision.cl:186-191). Returns None when gated
+        (see BVH_TPU_MAX)."""
+        if (jax.default_backend() == "tpu"
+                and self.size > self.BVH_TPU_MAX):
+            return None
         depth = STACK_DEPTH
         while True:
             res = collide(coords, radii, capacity, method="bvh",

@@ -76,14 +76,18 @@ class ColumnPlan(NamedTuple):
     slab_rows: int
 
 
-def default_column_config(n, target_occupancy=1500):
+def default_column_config(n, target_occupancy=1500, gxy=None):
     """(gxy, col_capacity, slab_rows) from n.
 
     Columns of ~1500 spheres balance chunk count (a-side overhead) against
     window search resolution; capacities are sized ~6 Poisson sigmas above
-    the uniform mean so uniform scenes never trip the retry.
+    the uniform mean so uniform scenes never trip the retry. Pass ``gxy``
+    to size the capacities for a caller-chosen grid instead (the retry
+    chain escalates gxy to narrow clustered scenes' windows — cells clamp
+    at 2*r_max, so a finer grid is always correct, collider._retry_exact).
     """
-    gxy = int(np.clip(round((n / target_occupancy) ** 0.5), 1, 64))
+    if gxy is None:
+        gxy = int(np.clip(round((n / target_occupancy) ** 0.5), 1, 64))
     occ = n / (gxy * gxy)
     col_cap = int(round_up(int(occ + 6 * occ ** 0.5 + 16), CHUNK))
     col_cap = min(col_cap, int(round_up(n, CHUNK)))

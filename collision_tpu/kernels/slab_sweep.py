@@ -484,8 +484,13 @@ def _slab_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
     kgt2 = kg * 2 * rpw * 2
     direct = bool(interpret)
     # ``unroll`` counts chunk PAIRS per store (mask_groups keeps kg a
-    # multiple of 4, so 2 pairs = 4 chunks per store always divides).
-    unroll = next(u for u in (2, 1) if kg % (2 * u) == 0)
+    # multiple of 4, so 2 pairs = 4 chunks per store always divides),
+    # capped by the scoped-VMEM stack budget (2 chunks x 2 offsets x rpw
+    # row units per pair; see kernels/sweep.py ROWS_STATIC_MAX). The
+    # dual-dispatch fill path always runs this kernel at rpw=1.
+    u_max = max(1, 120 // max(rpw, 1))
+    unroll = next(u for u in (2, 1)
+                  if kg % (2 * u) == 0 and u <= u_max)
     kernel = _make_slab_masks_kernel(gx, mc, slab_rows, rpw, kg, direct,
                                      unroll)
 
@@ -613,6 +618,9 @@ def _slab_count(stream, starts, slab_r0, w0_tab, wcap_tab,
                 gx, mc, slab_rows, rpw=1, interpret=False, unroll=1,
                 offsets=SLAB_OFFSETS, dmin=0):
     direct = bool(interpret)
+    # Scoped-VMEM stack cap: unroll pairs x 2 chunks x |offsets| x rpw
+    # inlined row tests (see kernels/sweep.py ROWS_STATIC_MAX).
+    unroll = max(1, min(unroll, 120 // max(rpw, 1)))
     kernel = _make_slab_kernel(gx, mc, slab_rows, rpw, direct, unroll,
                                offsets, dmin)
 

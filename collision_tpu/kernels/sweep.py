@@ -44,6 +44,21 @@ NO_PAIR = np.uint32(0xFFFFFFFF)
 #: reference's reallocate-and-retry resize, collision.py:84-119).
 RPW_LADDER = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
 
+#: Largest rpw the kernels fully unroll. Mosaic allocates every inlined
+#: row test's temporaries on the scoped-VMEM stack (~22 KB per row-unit
+#: measured at the 28.85M/16M OOM: rpw=64 x unroll=4 x 5 offsets, caught
+#: by tests_tpu on the forced-retry scene); past this bound the row loop
+#: goes dynamic (fori_loop), trading the unrolled form's ~4.5x speed for
+#: a compile that always fits. High rungs are rare retry territory —
+#: the host prefers escalating gxy (collider._retry_exact), which keeps
+#: windows narrow instead of sweeping wide ones slowly.
+ROWS_STATIC_MAX = 48
+
+#: Scoped-VMEM stack budget in "row units" (one window-row test of one
+#: chunk against one offset); caps the chunk-unroll so
+#: unroll * offsets * rpw stays well under the 16M limit.
+_ROW_UNIT_BUDGET = 480
+
 
 def mask_groups(mc, rpw):
     """(KG, NG): chunks per mask-kernel grid step and number of groups.
@@ -156,7 +171,8 @@ def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
                     w0 = w0_ref[0, 0, tbase + off]
                     wcap = wcap_ref[0, 0, tbase + off]
                     row_lo = w0 // LANE
-                    for r in range(rpw):
+
+                    def row_test(r, acc_in):
                         b6 = read_raw(dx, row_lo + r)
                         jglob = (row_lo + r) * LANE + lane_i
                         m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
@@ -169,7 +185,15 @@ def _make_kernel(gxy, mc, slab_rows, rpw, direct_stream):
                         fold = c[0:8]
                         for f in range(8, CHUNK, 8):
                             fold = fold + c[f:f + 8]
-                        acc = acc + fold
+                        return acc_in + fold
+
+                    if rpw <= ROWS_STATIC_MAX:
+                        for r in range(rpw):
+                            acc = row_test(r, acc)
+                    else:
+                        # Deep windows: a dynamic row loop bounds the
+                        # Mosaic stack (see ROWS_STATIC_MAX).
+                        acc = jax.lax.fori_loop(0, rpw, row_test, acc)
                 return acc
 
             acc = jax.lax.fori_loop(
@@ -295,7 +319,8 @@ def _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct_stream, unroll=1):
                 for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
                     w0 = w0_ref[0, 0, tbase + off]
                     wcap = wcap_ref[0, 0, tbase + off]
-                    for r in range(rpw):
+
+                    def row_test(r, acc_in):
                         b6 = read_win(dx, w0 + r * LANE)
                         jrel = r * LANE + lane_i
                         m = (axhi > b6[0:1, :]) & (axlo < b6[3:4, :])
@@ -310,7 +335,15 @@ def _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct_stream, unroll=1):
                         fold = c[0:8]
                         for f in range(8, CHUNK, 8):
                             fold = fold + c[f:f + 8]
-                        acc = acc + fold
+                        return acc_in + fold
+
+                    if rpw <= ROWS_STATIC_MAX:
+                        for r in range(rpw):
+                            acc = row_test(r, acc)
+                    else:
+                        # Deep windows: a dynamic row loop bounds the
+                        # Mosaic stack (see ROWS_STATIC_MAX).
+                        acc = jax.lax.fori_loop(0, rpw, row_test, acc)
                 return acc
 
             if unroll == 1:
@@ -467,7 +500,7 @@ def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream,
                     wcap = wcap_ref[0, 0, tbase + off]
                     row_lo = w0 // LANE
 
-                    for r in range(rpw):
+                    def row_masks(r):
                         # No row skipping and no zero-fill pass: rows
                         # past the window (and dead chunks) have no
                         # in-window lanes, so their packed words are
@@ -489,8 +522,28 @@ def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream,
                         for hw in (16, 8, 4, 2, 1):
                             half0 = half0[:hw] + half0[hw:2 * hw]
                             half1 = half1[:hw] + half1[hw:2 * hw]
-                        packed_all.append(half0)
-                        packed_all.append(half1)
+                        return half0, half1
+
+                    if rpw <= ROWS_STATIC_MAX:
+                        for r in range(rpw):
+                            h0, h1 = row_masks(r)
+                            packed_all.append(h0)
+                            packed_all.append(h1)
+                    else:
+                        # Deep windows: dynamic row loop with direct
+                        # per-row stores bounds the Mosaic stack (see
+                        # ROWS_STATIC_MAX); the caller forces unroll=1
+                        # here so g_body has no fat store to merge.
+                        base = (k - k_lo) * (5 * rpw * 2) \
+                            + off * rpw * 2
+
+                        def row_store(r, _):
+                            h0, h1 = row_masks(r)
+                            out_ref[0, pl.ds(base + r * 2, 1)] = h0
+                            out_ref[0, pl.ds(base + r * 2 + 1, 1)] = h1
+                            return 0
+
+                        jax.lax.fori_loop(0, rpw, row_store, 0)
             return packed_all
 
         def g_body(gq, _):
@@ -505,9 +558,10 @@ def _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct_stream,
             packed_all = []
             for t in range(unroll):
                 packed_all += pair_masks(p0 + t)
-            block = jnp.concatenate(packed_all, axis=0)
-            out_ref[0, pl.ds(gq * unroll * 2 * (5 * rpw * 2),
-                             unroll * 2 * 5 * rpw * 2)] = block
+            if rpw <= ROWS_STATIC_MAX:
+                block = jnp.concatenate(packed_all, axis=0)
+                out_ref[0, pl.ds(gq * unroll * 2 * (5 * rpw * 2),
+                                 unroll * 2 * 5 * rpw * 2)] = block
             return 0
 
         jax.lax.fori_loop(0, kg // (2 * unroll), g_body, 0)
@@ -541,8 +595,15 @@ def _sweep_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
     kgt = kg * 5 * rpw
     direct = bool(interpret)
     # ``unroll`` counts chunk PAIRS per store (mask_groups keeps kg a
-    # multiple of 4, so 2 pairs = 4 chunks per store always divides).
-    unroll = next(u for u in (2, 1) if kg % (2 * u) == 0)
+    # multiple of 4, so 2 pairs = 4 chunks per store always divides),
+    # capped by the scoped-VMEM stack budget; past ROWS_STATIC_MAX the
+    # kernel stores row-by-row with a dynamic loop (unroll must be 1).
+    if rpw > ROWS_STATIC_MAX:
+        unroll = 1
+    else:
+        u_max = max(1, _ROW_UNIT_BUDGET // (2 * 5 * rpw))
+        unroll = next(u for u in (2, 1)
+                      if kg % (2 * u) == 0 and u <= u_max)
     kernel = _make_masks_kernel(gxy, mc, slab_rows, rpw, kg, direct,
                                 unroll)
 
@@ -621,6 +682,10 @@ def _sweep_count(stream, starts, slab_r0, w0_tab, wcap_tab,
     K = gxy * mc * 5
     direct = bool(interpret)
     if rolled:
+        # Stack budget: unroll * 5 offsets * min(rpw, static max) row
+        # units must fit scoped VMEM (see _ROW_UNIT_BUDGET).
+        unroll = max(1, min(unroll, _ROW_UNIT_BUDGET
+                            // (5 * min(rpw, ROWS_STATIC_MAX))))
         kernel = _make_rolled_kernel(gxy, mc, slab_rows, rpw, direct,
                                      unroll)
     else:

@@ -183,3 +183,33 @@ def test_rolled_sweep_edge_cases():
     rpw = next(r for r in RPW_LADDER if r >= rolled_need)
     assert int(sweep_count(plan, rpw=rpw, interpret=True,
                            rolled=True)) == expected
+
+
+def test_deep_rpw_dynamic_rows_parity():
+    """rpw rungs past ROWS_STATIC_MAX run the kernels' dynamic row
+    loops (the fully-unrolled form at rpw=64 blew the 16M scoped-VMEM
+    stack on hardware — caught by tests_tpu on the forced-retry scene).
+    Both count kernels and the masks kernel must stay exact there."""
+    from collision_tpu.fill import mask_fill
+    from collision_tpu.kernels.sweep import ROWS_STATIC_MAX
+
+    rng = np.random.RandomState(21)
+    n = 900
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.08, n).astype("float32")
+    expected = brute_force_collisions(coords, radii)
+    rpw = next(r for r in RPW_LADDER if r > ROWS_STATIC_MAX)
+    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii), 2, 448, 8)
+    assert bool(plan.ok)
+    assert int(plan.rows_needed) <= rpw
+    assert int(sweep_count(plan, rpw=rpw, interpret=True)) == len(expected)
+    assert int(sweep_count(plan, rpw=rpw, interpret=True,
+                           rolled=True)) == len(expected)
+    ida, idb, total, ok = mask_fill(
+        jnp.asarray(coords), jnp.asarray(radii), len(expected) + 8,
+        2, 448, 8, rpw=rpw, interpret=True)
+    assert bool(ok) and int(total) == len(expected)
+    got = {tuple(sorted((int(a), int(b))))
+           for a, b in zip(np.asarray(ida)[:int(total)],
+                           np.asarray(idb)[:int(total)])}
+    assert got == expected
