@@ -1,3 +1,11 @@
+"""HISTORICAL (round 3): measured the streaming-cursor sweep fill
+(kernels/stream_emit.py stream_fill_pairs), DELETED in round 4 after
+its dense full-capacity configuration crashed the TPU worker and the
+mask-fill path measured 2.3x faster (VERDICT r3 item 5). Kept for the
+numbers cited in results_v5e_round3.jsonl; no longer runnable.
+"""
+raise SystemExit("historical: stream_fill_pairs was removed in round 4")
+
 """Round-3: dense-scene stream_fill scaling / crash bisection.
 
 The reference benchmark scene scaled down: n spheres, rmax=0.06 in the

@@ -5,7 +5,6 @@ from .halo import halo_pairs
 from .slab_sweep import (
     diag_count, slab_count, slab_count_diag, slab_count_dual,
     slab_count_guarded, slab_sweep_masks)
-from .stream_emit import stream_fill_pairs
 from .sweep import sweep_count, sweep_count_guarded, sweep_masks
 
 __all__ = [
@@ -21,7 +20,6 @@ __all__ = [
     "slab_count_dual",
     "slab_count_guarded",
     "slab_sweep_masks",
-    "stream_fill_pairs",
     "sweep_count",
     "sweep_count_guarded",
     "sweep_masks",

@@ -1,38 +1,25 @@
-"""Streaming in-kernel pair emission: the cursor restored, TPU-style.
+"""Streaming pair-emission machinery: the cursor restored, TPU-style.
 
 The reference emits each hit through a global atomic cursor into a buffer
-bounded only by device memory (/root/reference/collision/collision.cl:202-215)
-— memory-bound emission at traversal cost. The round-2 TPU answer (fill.py
-mask_fill) kept candidate testing in the Pallas sweep but pushed emission
-through an XLA popcount pyramid whose materialized intermediates made pairs
-cost ~45 ns each (4.9 s for the dense 107.6M-pair reference scene).
+bounded only by device memory (/root/reference/collision/collision.cl:202-215).
+A Pallas TPU grid executes *sequentially* on the core, so one SMEM cursor
+is race-free by construction; :class:`PairEmitter` owns that cursor plus a
+double-buffered VMEM staging ring whose 1024-pair halves flush to the HBM
+output by async DMA — emission traffic is O(pairs), overlapped with
+compute. :func:`extract_hits` walks a packed mask's set bits (masked
+min-reductions + one-hot selects, no gathers) and stores each pair through
+the emitter; :func:`pack_mask_words` bit-packs a [64, 128] overlap mask
+into its two uint32 lane-words.
 
-This kernel restores the reference's cost shape without atomics by
-exploiting the fact that a Pallas TPU grid executes *sequentially* on the
-core: one SMEM cursor is race-free by construction. It fuses the rolled
-banded-window sweep (kernels/sweep.py) with in-kernel extraction:
-
-  per row-tile: exact strict-overlap mask (pure vector code, identical to
-    the rolled count sweep) -> bit-packed to two uint32 lane-words; the
-    tile's popcount joins the running total (int32 + f32 anti-wrap guard,
-    so the total stays exact past capacity at zero per-hit cost);
-  per *stored* hit (a fori loop bounded by min(tile count, remaining
-    capacity) — zero-hit and past-capacity tiles cost only the empty
-    loop, no branches): locate the first set bit with masked
-    min-reductions, resolve both original ids with one-hot selects (no
-    gathers anywhere), and lane-merge the pair into a VMEM staging ring;
-  per 1024 stored pairs: one async DMA flushes a staging half to the HBM
-    output at the cursor — emission traffic is O(pairs), overlapped with
-    compute.
-
-Pairs are emitted in deterministic ascending sweep order; the first
-``capacity`` pairs are materialized while the total keeps counting
-(collision.cl:203-207). Interpreter mode (CPU tests) writes pairs
-directly into the VMEM-resident output instead of staging DMAs — same
-extraction code, no semaphores.
+The big-vs-stream pass (kernels/bigpass.py) is the production consumer.
+A full streaming *sweep* fill built on this machinery (the round-3
+``stream_fill_pairs``) was deleted in round 4: the sparse mask-fill
+pipeline (fill.py + kernels/pair_emit.py) measured 2.3x faster at 1M
+and the streaming kernel's dense full-capacity configuration (rpw=12,
+110M pairs) crashed the TPU worker — a configuration known to kill the
+device has no place in tree (VERDICT r3 item 5); see
+results_v5e_round4.jsonl "stream_fill_removed".
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..columns import CHUNK, COLUMN_OFFSETS, LANE, ColumnPlan
+from ..columns import CHUNK, LANE
 
 NO_PAIR = np.uint32(0xFFFFFFFF)
 
@@ -228,217 +215,3 @@ def pack_mask_words(m):
         half0 = half0[:hw] + half0[hw:2 * hw]
         half1 = half1[:hw] + half1[hw:2 * hw]
     return jnp.concatenate([half0, half1], 0)
-
-
-def _make_stream_fill_kernel(gxy, mc, slab_rows, rpw, capacity,
-                             direct_stream):
-    """capacity must be a positive multiple of 2 * _FLUSH (caller pads)."""
-    cap_rows = capacity // LANE
-
-    def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
-               out_a, out_b, total_ref, totf_ref, *scratch):
-        if direct_stream:
-            cur, curf = scratch
-            bufs = sems = stag_a = stag_b = fsem = None
-        else:
-            bufs, sems, stag_a, stag_b, fsem, cur, curf = scratch
-        x = pl.program_id(0)
-        emitter = PairEmitter(out_a, out_b, stag_a, stag_b, fsem, cur,
-                              capacity, direct_stream)
-
-        # cur layout: [0] = stored-pair cursor (<= capacity),
-        #             [1] = completed flush events, [2] = running total.
-        if not direct_stream:
-            def start_slab(s, slot):
-                pltpu.make_async_copy(
-                    stream_ref.at[pl.ds(r0_ref[s], slab_rows)],
-                    bufs.at[slot], sems.at[slot]).start()
-
-            @pl.when(x == 0)
-            def _init_dma():
-                start_slab(0, 0)
-                start_slab(1, 1)
-                pltpu.make_async_copy(
-                    stream_ref.at[pl.ds(r0_ref[0], slab_rows)],
-                    bufs.at[0], sems.at[0]).wait()
-
-            pltpu.make_async_copy(
-                stream_ref.at[pl.ds(r0_ref[x + 1], slab_rows)],
-                bufs.at[(x + 1) % 3], sems.at[(x + 1) % 3]).wait()
-
-            @pl.when(x + 2 <= gxy)
-            def _prefetch():
-                start_slab(x + 2, (x + 2) % 3)
-
-        @pl.when(x == 0)
-        def _init():
-            emitter.init()
-            cur[2] = 0
-            curf[0] = 0.0
-
-        lane_i = emitter.lane_i
-        sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        sub_full = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
-        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
-
-        def read_win(dx, g):
-            """[8, 128] full components of spheres g..g+127, lane-rolled."""
-            lrow = g // LANE
-            lane0 = g % LANE
-            if direct_stream:
-                lr = jnp.clip(lrow, 0, stream_ref.shape[0] - 2)
-                two = stream_ref[pl.ds(lr, 2)]
-            else:
-                slot = jax.lax.rem(x + dx, 3)
-                lr = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 2)
-                two = bufs[slot, pl.ds(lr, 2)]
-            rolled = pltpu.roll(two, -lane0, 2)
-            return jnp.where(iota8 < LANE - lane0, rolled[0], rolled[1])
-
-        def y_body(y, acc):
-            col = x * gxy + y
-            a0 = starts_ref[col]
-            a1 = starts_ref[col + 1]
-            nchunks = jnp.minimum((a1 - a0 + CHUNK - 1) // CHUNK, mc)
-
-            def k_body(k, acc):
-                g0 = a0 + k * CHUNK
-                alen = jnp.minimum(a1 - g0, CHUNK)
-                a8 = read_win(0, g0)
-                aT = jnp.swapaxes(a8, 0, 1)          # [128, 8]
-                aT6 = jnp.where(sub_full < alen, aT[:, :6], jnp.inf)
-                axlo = aT6[:CHUNK, 0:1]
-                aylo = aT6[:CHUNK, 1:2]
-                azlo = aT6[:CHUNK, 2:3]
-                axhi = aT6[:CHUNK, 3:4]
-                ayhi = aT6[:CHUNK, 4:5]
-                azhi = aT6[:CHUNK, 5:6]
-                a_ids = jax.lax.bitcast_convert_type(
-                    aT[:CHUNK, 6:7], jnp.int32)      # [64, 1]
-                tbase = (y * mc + jnp.minimum(k, mc - 1)) * 5
-
-                for off, (dx, dy) in enumerate(COLUMN_OFFSETS):
-                    w0 = w0_ref[0, 0, tbase + off]
-                    wcap = wcap_ref[0, 0, tbase + off]
-                    for r in range(rpw):
-                        b8 = read_win(dx, w0 + r * LANE)
-                        jrel = r * LANE + lane_i
-                        m = (axhi > b8[0:1, :]) & (axlo < b8[3:4, :])
-                        m &= (ayhi > b8[1:2, :]) & (aylo < b8[4:5, :])
-                        m &= (azhi > b8[2:3, :]) & (azlo < b8[5:6, :])
-                        m &= jrel < wcap
-                        if off == 0:
-                            m &= w0 + jrel > g0 + sub_c
-                        b_ids = jax.lax.bitcast_convert_type(
-                            b8[6:7, :], jnp.int32)   # [1, 128]
-
-                        cnt = jnp.sum(m, dtype=jnp.int32)
-                        acc = (acc[0] + cnt,
-                               acc[1] + cnt.astype(jnp.float32))
-
-                        # Only windows with hits pay the pack + the
-                        # extraction loop; the register totals above are
-                        # exact regardless (count-past-capacity
-                        # contract). Empty windows (the vast majority on
-                        # sparse scenes) cost one predicate.
-                        @pl.when(cnt > 0)
-                        def _extract():
-                            W0 = pack_mask_words(m)
-                            trip = jnp.clip(emitter.remaining(), 0, cnt)
-                            extract_hits(W0, trip, emitter, a_ids, b_ids,
-                                         lane_i, sub_c)
-                return acc
-
-            return jax.lax.fori_loop(0, nchunks, k_body, acc)
-
-        acc = jax.lax.fori_loop(
-            0, gxy, y_body, (jnp.int32(0), jnp.float32(0.0)))
-        cur[2] = cur[2] + acc[0]
-        curf[0] = curf[0] + acc[1]
-
-        @pl.when(x == pl.num_programs(0) - 1)
-        def _finish():
-            total_ref[0] = cur[2]
-            totf_ref[0] = curf[0]
-            emitter.finish()
-
-    return kernel
-
-
-def stream_fill_pairs(plan: ColumnPlan, capacity, rpw=1, interpret=False):
-    """(ida[capacity], idb[capacity], total u32, no_overflow bool).
-
-    In-kernel streaming emission over a column plan. Exact iff
-    ``plan.ok & (plan.rows_rolled <= rpw)`` (callers AND those in) and
-    the returned ``no_overflow``; slots past min(total, capacity) hold
-    NO_PAIR. Deterministic ascending sweep order.
-    """
-    cap_pad = max(-(-int(capacity) // (2 * _FLUSH)) * (2 * _FLUSH),
-                  2 * _FLUSH)
-    ida, idb, total, no_ovf = _stream_fill(
-        plan.stream, plan.starts, plan.slab_r0, plan.w0, plan.wcap,
-        plan.gxy, plan.mc, plan.slab_rows, rpw, cap_pad, interpret)
-    return ida[:capacity], idb[:capacity], total, no_ovf
-
-
-@partial(jax.jit, static_argnames=(
-    "gxy", "mc", "slab_rows", "rpw", "capacity", "interpret"))
-def _stream_fill(stream, starts, slab_r0, w0_tab, wcap_tab,
-                 gxy, mc, slab_rows, rpw, capacity, interpret=False):
-    K = gxy * mc * 5
-    direct = bool(interpret)
-    kernel = _make_stream_fill_kernel(
-        gxy, mc, slab_rows, rpw, capacity, direct)
-    cap_rows = capacity // LANE
-
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),                 # starts
-        pl.BlockSpec(memory_space=pltpu.SMEM),                 # slab_r0
-        pl.BlockSpec((1, 1, K), lambda s: (s, 0, 0),
-                     memory_space=pltpu.SMEM),                 # w0
-        pl.BlockSpec((1, 1, K), lambda s: (s, 0, 0),
-                     memory_space=pltpu.SMEM),                 # wcap
-        pl.BlockSpec(memory_space=pltpu.VMEM if direct else pl.ANY),
-    ]
-    out_space = pltpu.VMEM if direct else pltpu.ANY
-    scratch = [pltpu.SMEM((3,), jnp.int32), pltpu.SMEM((1,), jnp.float32)]
-    if not direct:
-        scratch = [
-            pltpu.VMEM((3, slab_rows, 8, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.VMEM((2 * _FROWS, LANE), jnp.int32),
-            pltpu.VMEM((2 * _FROWS, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ] + scratch
-
-    out_a, out_b, total, totf = pl.pallas_call(
-        kernel,
-        grid=(gxy,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec(memory_space=out_space),
-            pl.BlockSpec(memory_space=out_space),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((cap_rows, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((cap_rows, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
-        ],
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(starts, slab_r0,
-      w0_tab.reshape(gxy, 1, K), wcap_tab.reshape(gxy, 1, K),
-      stream)
-
-    out_a = jax.lax.bitcast_convert_type(out_a, jnp.uint32)
-    out_b = jax.lax.bitcast_convert_type(out_b, jnp.uint32)
-    total_u = total[0].astype(jnp.uint32)
-    live = jnp.arange(capacity, dtype=jnp.uint32) \
-        < jnp.minimum(total_u, jnp.uint32(capacity))
-    ida = jnp.where(live, out_a.reshape(-1), jnp.uint32(NO_PAIR))
-    idb = jnp.where(live, out_b.reshape(-1), jnp.uint32(NO_PAIR))
-    no_ovf = totf[0] < float(2 ** 31 - 2 ** 26)
-    return ida, idb, total_u, no_ovf

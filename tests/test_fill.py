@@ -307,104 +307,6 @@ def test_mask_fill_fuzz(seed):
         assert got <= expected and len(got) == k
 
 
-# ---- streaming in-kernel emission (kernels/stream_emit.py) ----
-
-from collision_tpu.kernels.stream_emit import stream_fill_pairs  # noqa: E402
-
-
-def _stream_check(n, seed, gxy, cc, sr, rscale=1.2, cap_extra=9):
-    rng = np.random.RandomState(seed)
-    coords = rng.random((n, 3)).astype("float32")
-    radii = rng.uniform(0, rscale / np.sqrt(n), n).astype("float32")
-    expected = brute_force_collisions(coords, radii)
-    cap = max(len(expected) + cap_extra, 16)
-    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii), gxy, cc, sr)
-    assert bool(plan.ok)
-    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_rolled))
-    ida, idb, total, ok = stream_fill_pairs(
-        plan, cap, rpw=rpw, interpret=True)
-    assert bool(ok)
-    assert int(total) == len(expected)
-    got = {(min(a, b), max(a, b))
-           for a, b in zip(np.asarray(ida)[:int(total)],
-                           np.asarray(idb)[:int(total)])}
-    assert got == expected
-    assert (np.asarray(ida)[int(total):] == 0xFFFFFFFF).all()
-    assert (np.asarray(idb)[int(total):] == 0xFFFFFFFF).all()
-
-
-@pytest.mark.parametrize("n,seed,gxy,cc,sr", [
-    (200, 0, 2, 192, 4),
-    (500, 1, 3, 192, 4),
-    (1000, 2, 4, 128, 6),
-    (600, 9, 2, 512, 8),
-    (2000, 3, 4, 640, 8),
-])
-def test_stream_fill_parity(n, seed, gxy, cc, sr):
-    _stream_check(n, seed, gxy, cc, sr)
-
-
-def test_stream_fill_single_column_dense():
-    # 22k pairs through one column: exercises many staging flushes
-    # (>= 10 full 1024-pair halves through the DMA ring on hardware;
-    # direct stores under the interpreter).
-    _stream_check(800, 5, 1, 832, 9, rscale=6)
-
-
-def test_stream_fill_overflow_contract():
-    # True total past capacity; exactly the first `capacity` pairs in
-    # sweep order are materialized.
-    rng = np.random.RandomState(3)
-    n = 300
-    coords = rng.random((n, 3)).astype("float32")
-    radii = rng.uniform(0, 0.15, n).astype("float32")
-    expected = brute_force_collisions(coords, radii)
-    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii), 2, 320, 6)
-    assert bool(plan.ok)
-    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_rolled))
-    ida, idb, total, ok = stream_fill_pairs(plan, 7, rpw=rpw, interpret=True)
-    assert bool(ok)
-    assert int(total) == len(expected)
-    got = {(min(a, b), max(a, b))
-           for a, b in zip(np.asarray(ida), np.asarray(idb))}
-    assert got <= expected and len(got) == 7
-
-
-@pytest.mark.parametrize("seed", range(4))
-def test_stream_fill_fuzz(seed):
-    rng = np.random.RandomState(700 + seed)
-    n = int(rng.randint(50, 1200))
-    scale = 10.0 ** rng.uniform(-2, 2)
-    coords = (rng.random((n, 3)) * scale).astype("float32")
-    radii = (rng.random(n) * scale * rng.uniform(0.005, 0.15)).astype(
-        "float32")
-    gxy = int(rng.choice([1, 2, 3, 5]))
-    expected = brute_force_collisions(coords, radii)
-
-    cc, sr = 64, 4
-    for _ in range(4):
-        plan = plan_columns(
-            jnp.asarray(coords), jnp.asarray(radii), gxy, cc, sr)
-        if bool(plan.ok):
-            break
-        cc = int(np.ceil(int(plan.max_col) / 64) * 64) + 64
-        sr = int(plan.max_slab_rows) + 2
-    assert bool(plan.ok)
-    rpw = next(x for x in RPW_LADDER if x >= int(plan.rows_rolled))
-    cap = max(len(expected) + int(rng.randint(0, 50)), 8)
-    ida, idb, total, ok = stream_fill_pairs(
-        plan, cap, rpw=rpw, interpret=True)
-    assert bool(ok)
-    assert int(total) == len(expected)
-    k = min(int(total), cap)
-    got = {(min(a, b), max(a, b))
-           for a, b in zip(np.asarray(ida)[:k], np.asarray(idb)[:k])}
-    if k == int(total):
-        assert got == expected
-    else:
-        assert got <= expected and len(got) == k
-
-
 # ---- blocked big-capacity emission (fill._mask_fill_emit_big) ----
 #
 # The single-shot sparse emission materializes capacity-sized tables —
