@@ -121,6 +121,22 @@ HETERO_AUTO_MIN = 16384
 #: every measured n (VERDICT r2 item 7's <=2x bar).
 SLAB_AUTO_THRESHOLD = 65536
 
+#: n at or above which "auto" prefers the slab engine for FILLS too.
+#: The fill crossover sits higher than the count one — the column masks
+#: kernel reads aligned rows while the slab fill adds dual-dispatch
+#: residual machinery — measured on v5e (benchmarks/exp_r4_crossover.py,
+#: capacity=16384 uniform scenes, ms/step, results_v5e_round4.jsonl):
+#:
+#:     n        slab fill   column fill
+#:     65536    5.254       3.329
+#:     262144   7.698       6.578
+#:     524288   9.909       10.414
+#:     1M       15.016      18.029
+#:
+#: Column wins through 262144, slab from 524288 up; the threshold sits
+#: at the first measured n where slab wins.
+SLAB_FILL_AUTO_THRESHOLD = 524288
+
 #: When True, the TPU Pallas kernel paths (column sweep / mask fill) run
 #: under the Pallas interpreter on non-TPU backends instead of falling
 #: back to the portable XLA pipelines — lets the CPU test suite exercise
@@ -445,9 +461,10 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
         contract, collision.cl:174-226), "bvh" (LBVH build + lockstep
         traversal, the reference architecture re-designed for XLA),
         "grid" (round-1 dense uniform-grid stencil + Pallas kernels,
-        kept for parity), or "auto" (slab count-only at n >=
-        SLAB_AUTO_THRESHOLD, column for everything else — measured
-        crossover, never BVH; eager calls with concrete inputs
+        kept for parity), or "auto" (slab counts at n >=
+        SLAB_AUTO_THRESHOLD and slab fills at n >=
+        SLAB_FILL_AUTO_THRESHOLD, column for everything else — measured
+        crossovers, never BVH; eager calls with concrete inputs
         additionally probe the radius spread and route heterogeneous
         scenes to "hetero").
       grid_dim, cell_capacity: static legacy-grid knobs (see grid.py).
@@ -512,10 +529,13 @@ def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
         cand_capacity = default_cand_capacity(n, capacity)
 
     if method == "auto":
-        # Measured crossover (see SLAB_AUTO_THRESHOLD): slab for large
-        # count-only steps, column everywhere else — never BVH, which is
-        # 200-900x slower at every measured n.
+        # Measured crossovers (SLAB_AUTO_THRESHOLD for counts,
+        # SLAB_FILL_AUTO_THRESHOLD for fills): slab for large steps,
+        # column everywhere else — never BVH, which is 200-900x slower
+        # at every measured n.
         if capacity == 0 and n >= SLAB_AUTO_THRESHOLD:
+            method = "slab"
+        elif capacity > 0 and n >= SLAB_FILL_AUTO_THRESHOLD:
             method = "slab"
         else:
             method = "column"
