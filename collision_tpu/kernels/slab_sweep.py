@@ -156,6 +156,18 @@ def diag_count(stream, diag_thr, d_max=DEFAULT_DIAG, interpret=False):
 
 def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
                       offsets=SLAB_OFFSETS, dmin=0):
+    # Chunks sharing one a-side read + [aw*64, 6] transpose. The
+    # transpose is the sweep's dominant machinery (exp_r3_strip.py);
+    # QUAD pairing (4 chunks per 3-row read) measured 3.68 vs 5.27 ms
+    # sweep-only at 1M/gx=125 (benchmarks/exp_r4_sweepvar.py, counts
+    # matched). A 3-row read never clips live data because plan.ok
+    # requires max_slab + 2 <= slab_rows (slabs.py) — same exact-iff-ok
+    # contract. Retry rungs with rpw > 1 keep the 2-chunk pairing so the
+    # statically inlined row-test count stays bounded (2 chunks x
+    # |offsets| x rpw; see the scoped-VMEM note at the unroll cap).
+    aw = 4 if rpw == 1 else 2
+    arows = aw // 2 + 1
+
     def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
                total_ref, totf_ref, *scratch):
         if direct_stream:
@@ -196,47 +208,53 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        sub_full = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+        aw_full = jax.lax.broadcasted_iota(jnp.int32, (aw * CHUNK, 1), 0)
         iota6 = jax.lax.broadcasted_iota(jnp.int32, (6, LANE), 1)
 
-        def read_win(dx, g):
-            """[6, 128]: test components of spheres g..g+127 (lane-rolled
-            so sphere g is at lane 0), from the slab holding x+dx."""
+        def read_win(dx, g, rows=2):
+            """[6, (rows-1)*128]: test components of spheres
+            g..g+(rows-1)*128-1 (lane-rolled so sphere g is at lane 0),
+            from the slab holding x+dx."""
             lrow = g // LANE
             lane0 = g % LANE
             if direct_stream:
-                lr = jnp.clip(lrow, 0, stream_ref.shape[0] - 2)
-                two = stream_ref[pl.ds(lr, 2), pl.ds(0, 6), :]
+                lr = jnp.clip(lrow, 0, stream_ref.shape[0] - rows)
+                win = stream_ref[pl.ds(lr, rows), pl.ds(0, 6), :]
             else:
                 slot = jax.lax.rem(x + dx, 3)
-                lr = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 2)
-                two = bufs[slot, pl.ds(lr, 2), pl.ds(0, 6), :]
-            rolled = pltpu.roll(two, -lane0, 2)
-            return jnp.where(iota6 < LANE - lane0, rolled[0], rolled[1])
+                lr = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - rows)
+                win = bufs[slot, pl.ds(lr, rows), pl.ds(0, 6), :]
+            rolled = pltpu.roll(win, -lane0, 2)
+            first = jnp.where(iota6 < LANE - lane0, rolled[0], rolled[1])
+            if rows == 2:
+                return first
+            mid = jnp.where(iota6 < LANE - lane0, rolled[1], rolled[2])
+            return jnp.concatenate([first, mid], axis=1)
 
         a0 = starts_ref[x]
         a1 = starts_ref[x + 1]
         nchunks = jnp.minimum((a1 - a0 + CHUNK - 1) // CHUNK, mc)
-        npairs = (nchunks + 1) // 2
+        ngroups = (nchunks + aw - 1) // aw
 
         def pair_tests(kk, acc):
             # One stream row holds TWO chunks, so one rolled a-read and
-            # ONE [6,128]->[128,6] transpose serve chunks 2kk and 2kk+1.
-            # The strip microbench (exp_r3_strip.py) measured that
-            # transpose as the sweep's dominant machinery (3.6 of
-            # 5.8 ms at 1M) and the dynamic a-read+roll as the next
-            # (~2.6 ms) — pairing halves both.
-            g0 = a0 + kk * (2 * CHUNK)
-            alen = jnp.minimum(a1 - g0, 2 * CHUNK)
-            a6 = read_win(0, g0)
+            # ONE transpose serve ``aw`` chunks (2 rows -> 2 chunks, or
+            # 3 rows -> 4 chunks in the quad headline shape). The strip
+            # microbench (exp_r3_strip.py) measured that transpose as
+            # the sweep's dominant machinery (3.6 of 5.8 ms at 1M) and
+            # the dynamic a-read+roll as the next (~2.6 ms) — sharing
+            # divides both by aw/2.
+            g0 = a0 + kk * (aw * CHUNK)
+            alen = jnp.minimum(a1 - g0, aw * CHUNK)
+            a6 = read_win(0, g0, rows=arows)
             aT = jnp.swapaxes(a6, 0, 1)
             # Rows past the chunk -> +inf lows: the strict test can never
             # pass (subsumes an explicit a-validity mask; dead unroll
             # slots with alen <= 0 vanish the same way).
-            aT = jnp.where(sub_full < alen, aT, jnp.inf)
+            aT = jnp.where(aw_full < alen, aT, jnp.inf)
 
-            for sub in range(2):
-                k = kk * 2 + sub
+            for sub in range(aw):
+                k = kk * aw + sub
                 g0s = g0 + sub * CHUNK
                 s0 = sub * CHUNK
                 axlo = aT[s0:s0 + CHUNK, 0:1]
@@ -248,11 +266,12 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
                 # Dead slots clamp the SMEM table read into range (their
                 # window values are real but the all-inf a side kills m).
                 # One caveat when a slab OVERFLOWED col_capacity
-                # (plan.ok=False) and mc is odd: the paired loop then
-                # tests live lanes of chunk mc against chunk mc-1's
-                # clamped window, which can OVERcount — acceptable
-                # because a plan.ok=False result is discarded and
-                # retried by the host (the exact-iff-ok contract).
+                # (plan.ok=False) and mc is not a multiple of the group
+                # width: the grouped loop then tests live lanes of
+                # chunks >= mc against chunk mc-1's clamped window,
+                # which can OVERcount — acceptable because a
+                # plan.ok=False result is discarded and retried by the
+                # host (the exact-iff-ok contract).
                 tbase = jnp.minimum(k, mc - 1) * 2
 
                 for dx in offsets:
@@ -285,7 +304,7 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
 
         if unroll == 1:
             acc = jax.lax.fori_loop(
-                0, npairs, pair_tests, jnp.zeros((8, LANE), jnp.int32))
+                0, ngroups, pair_tests, jnp.zeros((8, LANE), jnp.int32))
         else:
             # Static unrolling lets Mosaic software-pipeline the
             # dynamic-slice reads across pairs: the rolled sweep
@@ -298,7 +317,7 @@ def _make_slab_kernel(gx, mc, slab_rows, rpw, direct_stream, unroll=1,
                 return acc
 
             acc = jax.lax.fori_loop(
-                0, (npairs + unroll - 1) // unroll, g_body,
+                0, (ngroups + unroll - 1) // unroll, g_body,
                 jnp.zeros((8, LANE), jnp.int32))
         cursor[0] = cursor[0] + jnp.sum(acc, dtype=jnp.int32)
         cursor_f[0] = cursor_f[0] + jnp.sum(
@@ -332,6 +351,13 @@ def _make_slab_masks_kernel(gx, mc, slab_rows, rpw, kg, direct_stream,
     overlap mask is bit-packed into two uint32 lane-rows and written to
     a per-(slab, chunk-group) HBM block — the input to the sparse
     mask-fill emission (fill.py). Unvisited tile slots stay zero."""
+    # Same QUAD pairing as the count kernel: at rpw=1 four chunks share
+    # one 3-row a-read + transpose (safe iff plan.ok — see
+    # _make_slab_kernel; mask_groups keeps kg a multiple of 4 so quad
+    # groups always divide the chunk range).
+    aw = 4 if rpw == 1 else 2
+    arows = aw // 2 + 1
+
     def kernel(starts_ref, r0_ref, w0_ref, wcap_ref, stream_ref,
                out_ref, *scratch):
         if direct_stream:
@@ -367,44 +393,48 @@ def _make_slab_masks_kernel(gx, mc, slab_rows, rpw, kg, direct_stream,
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         sub_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        sub_full = jax.lax.broadcasted_iota(jnp.int32, (LANE, 1), 0)
+        aw_full = jax.lax.broadcasted_iota(jnp.int32, (aw * CHUNK, 1), 0)
         iota6 = jax.lax.broadcasted_iota(jnp.int32, (6, LANE), 1)
         shift = jax.lax.broadcasted_iota(
             jnp.uint32, (CHUNK, LANE), 0) % 32
 
-        def read_win(dx, gidx):
+        def read_win(dx, gidx, rows=2):
             lrow = gidx // LANE
             lane0 = gidx % LANE
             if direct_stream:
-                lr = jnp.clip(lrow, 0, stream_ref.shape[0] - 2)
-                two = stream_ref[pl.ds(lr, 2), pl.ds(0, 6), :]
+                lr = jnp.clip(lrow, 0, stream_ref.shape[0] - rows)
+                win = stream_ref[pl.ds(lr, rows), pl.ds(0, 6), :]
             else:
                 slot = jax.lax.rem(x + dx, 3)
-                lr = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - 2)
-                two = bufs[slot, pl.ds(lr, 2), pl.ds(0, 6), :]
-            rolled = pltpu.roll(two, -lane0, 2)
-            return jnp.where(iota6 < LANE - lane0, rolled[0], rolled[1])
+                lr = jnp.clip(lrow - r0_ref[x + dx], 0, slab_rows - rows)
+                win = bufs[slot, pl.ds(lr, rows), pl.ds(0, 6), :]
+            rolled = pltpu.roll(win, -lane0, 2)
+            first = jnp.where(iota6 < LANE - lane0, rolled[0], rolled[1])
+            if rows == 2:
+                return first
+            mid = jnp.where(iota6 < LANE - lane0, rolled[1], rolled[2])
+            return jnp.concatenate([first, mid], axis=1)
 
         a0 = starts_ref[x]
         a1 = starts_ref[x + 1]
         k_lo = g * kg
 
         def pair_masks(p):
-            # One stream row holds TWO chunks: one rolled a-read and ONE
-            # [6,128]->[128,6] transpose serve chunks 2p and 2p+1 — the
-            # same pairing the count kernel got in round 3 (the
-            # transpose is the sweep's dominant machinery,
-            # exp_r3_strip.py). Dead chunks pack exact zeros through the
-            # all-inf a side, so every slot is still written.
-            g0 = a0 + p * (2 * CHUNK)
-            alen = jnp.minimum(a1 - g0, 2 * CHUNK)
-            a6 = read_win(0, g0)
+            # One rolled a-read and ONE transpose serve ``aw`` chunks
+            # (2 rows -> 2 chunks, 3 rows -> 4 in the quad headline
+            # shape) — the transpose is the sweep's dominant machinery
+            # (exp_r3_strip.py, exp_r4_sweepvar.py). Dead chunks pack
+            # exact zeros through the all-inf a side, so every slot is
+            # still written.
+            g0 = a0 + p * (aw * CHUNK)
+            alen = jnp.minimum(a1 - g0, aw * CHUNK)
+            a6 = read_win(0, g0, rows=arows)
             aT = jnp.swapaxes(a6, 0, 1)
-            aT = jnp.where(sub_full < alen, aT, jnp.inf)
+            aT = jnp.where(aw_full < alen, aT, jnp.inf)
 
             packed_all = []
-            for sub in range(2):
-                k = p * 2 + sub
+            for sub in range(aw):
+                k = p * aw + sub
                 g0s = g0 + sub * CHUNK
                 s0 = sub * CHUNK
                 axlo = aT[s0:s0 + CHUNK, 0:1]
@@ -446,16 +476,16 @@ def _make_slab_masks_kernel(gx, mc, slab_rows, rpw, kg, direct_stream,
             return packed_all
 
         def g_body(gq, _):
-            p0 = k_lo // 2 + gq * unroll
+            p0 = k_lo // aw + gq * unroll
             packed_all = []
             for t in range(unroll):
                 packed_all += pair_masks(p0 + t)
             block = jnp.concatenate(packed_all, axis=0)
-            out_ref[0, pl.ds(gq * unroll * 2 * (2 * rpw * 2),
-                             unroll * 2 * 2 * rpw * 2)] = block
+            out_ref[0, pl.ds(gq * unroll * aw * (2 * rpw * 2),
+                             unroll * aw * 2 * rpw * 2)] = block
             return 0
 
-        jax.lax.fori_loop(0, kg // (2 * unroll), g_body, 0)
+        jax.lax.fori_loop(0, kg // (aw * unroll), g_body, 0)
 
     return kernel
 
@@ -483,14 +513,16 @@ def _slab_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
     kg, ng = mask_groups(mc, rpw)
     kgt2 = kg * 2 * rpw * 2
     direct = bool(interpret)
-    # ``unroll`` counts chunk PAIRS per store (mask_groups keeps kg a
-    # multiple of 4, so 2 pairs = 4 chunks per store always divides),
-    # capped by the scoped-VMEM stack budget (2 chunks x 2 offsets x rpw
-    # row units per pair; see kernels/sweep.py ROWS_STATIC_MAX). The
+    # ``unroll`` counts chunk GROUPS per store (a group is 4 chunks at
+    # rpw=1 — the quad pairing — else 2; mask_groups keeps kg a multiple
+    # of 4 so one quad group per store always divides), capped by the
+    # scoped-VMEM stack budget (group chunks x 2 offsets x rpw row units
+    # per group; see kernels/sweep.py ROWS_STATIC_MAX). The
     # dual-dispatch fill path always runs this kernel at rpw=1.
+    aw = 4 if rpw == 1 else 2
     u_max = max(1, 120 // max(rpw, 1))
     unroll = next(u for u in (2, 1)
-                  if kg % (2 * u) == 0 and u <= u_max)
+                  if kg % (aw * u) == 0 and u <= u_max)
     kernel = _make_slab_masks_kernel(gx, mc, slab_rows, rpw, kg, direct,
                                      unroll)
 
