@@ -103,6 +103,14 @@ RPW_RETRY_MAX = 48
 #: distribution in ~ms (crossover table below).
 HETERO_AUTO_MIN = 16384
 
+#: Smallest n at which the hetero engine runs its S-S pass through the
+#: slab engine (hetero.py _hetero_slab) instead of the column engine —
+#: the same boundary as the uniform count crossover below, since the
+#: S-S pass IS a uniform-ish count/fill over the parked scene. Callers
+#: that pin column knobs (gxy/col_capacity/slab_rows) keep the column
+#: pass regardless (the Collider's column-stat hetero ladder does this).
+HETERO_SLAB_MIN = 65536
+
 #: n at or above which "auto" prefers the slab engine for count-only
 #: steps. Measured crossover on v5e (benchmarks/exp_r3_crossover.py,
 #: uniform scenes, ms/step, results_v5e_round3.jsonl):
@@ -371,16 +379,19 @@ def _slab_collide(coords, radii, capacity, gx, col_capacity, slab_rows,
 
 def _hetero_collide(coords, radii, capacity, nb, rpw, cand_capacity,
                     lo_scene, hi_scene, kernel_mode="native",
-                    gxy=None, col_capacity=None, slab_rows=None):
+                    gxy=None, col_capacity=None, slab_rows=None,
+                    engine="column", gx=None):
     """Hetero-engine frame: two-level radius bucketing (hetero.py).
 
     The TPU answer to the reference traversal's radius-agnosticism
     (collision.cl:174-226): the ``nb`` largest spheres are parked out of
-    the column pass and enumerated by dense big-vs-stream /
+    the S-S pass and enumerated by dense big-vs-stream /
     big-vs-big passes, so one giant radius no longer collapses the
-    column resolution. On CPU/f64 without interpret mode the portable
-    run-expansion pipeline applies (exact at input precision, with the
-    same ok contract).
+    grid resolution. ``engine`` picks the S-S pass (slab above the
+    crossover, column otherwise — see HETERO_SLAB_MIN); with the slab
+    engine the column knobs are unused and ``gx`` takes slab semantics.
+    On CPU/f64 without interpret mode the portable run-expansion
+    pipeline applies (exact at input precision, same ok contract).
     """
     from .columns import CHUNK
     from .hetero import hetero_collide
@@ -389,10 +400,15 @@ def _hetero_collide(coords, radii, capacity, nb, rpw, cand_capacity,
     on_tpu = jax.default_backend() == "tpu" and f32
     use_kernels = on_tpu or (kernel_mode == "interpret" and f32)
     if use_kernels and coords.shape[0] > CHUNK:
-        pairs, total, ok = hetero_collide(
-            coords, radii, capacity, nb=nb, gxy=gxy,
-            col_capacity=col_capacity, slab_rows=slab_rows, rpw=rpw,
-            interpret=not on_tpu)
+        if engine == "slab":
+            pairs, total, ok = hetero_collide(
+                coords, radii, capacity, nb=nb, engine="slab", gx=gx,
+                interpret=not on_tpu)
+        else:
+            pairs, total, ok = hetero_collide(
+                coords, radii, capacity, nb=nb, gxy=gxy,
+                col_capacity=col_capacity, slab_rows=slab_rows, rpw=rpw,
+                interpret=not on_tpu)
         return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
     from .columns import default_column_config
     from .fill import run_fill
@@ -411,25 +427,38 @@ def _radius_spread(radii, nb):
     return top[0], top[nb]
 
 
+@partial(jax.jit, static_argnames=("nb",))
+def _hetero_stats(coords, radii, nb):
+    """(r_max, r_small, ext_x): the radius spread plus the scene's x
+    extent — everything the eager hetero route needs, in ONE device
+    fetch (each fetch pays the full tunnel round-trip here)."""
+    top = jax.lax.top_k(jnp.asarray(radii, jnp.float32), nb + 1)[0]
+    x = jnp.asarray(coords, jnp.float32)[:, 0]
+    return top[0], top[nb], jnp.max(x) - jnp.min(x)
+
+
 def _route_hetero_eager(coords, radii, kernel_mode):
-    """True when an eager "auto" call should use the hetero engine.
+    """(r_small, ext_x) when an eager "auto" call should use the hetero
+    engine, None otherwise — the stats size the slab-pass ``gx``.
 
     Only consulted with concrete (non-traced) inputs: one tiny jitted
-    top-k probe reads the radius spread; traced calls (sim loops) keep
-    static routing and rely on the ok/retry contract. The probe costs
-    one scalar fetch — microseconds on real hardware."""
+    probe reads the radius spread + x extent; traced calls (sim loops)
+    keep static routing and rely on the ok/retry contract. The probe
+    costs one fetch — microseconds on real hardware."""
     from .columns import CHUNK
     from .hetero import default_nb
 
     n = coords.shape[0]
     if n < HETERO_AUTO_MIN or n <= CHUNK:
-        return False
+        return None
     f32 = jnp.asarray(coords).dtype == jnp.float32
     on_tpu = jax.default_backend() == "tpu" and f32
     if not (on_tpu or (kernel_mode == "interpret" and f32)):
-        return False
-    r_max, r_small = _radius_spread(radii, default_nb(n))
-    return float(r_max) > HETERO_ROUTE_FACTOR * float(r_small)
+        return None
+    r_max, r_small, ext_x = _hetero_stats(coords, radii, default_nb(n))
+    if float(r_max) > HETERO_ROUTE_FACTOR * float(r_small):
+        return float(r_small), float(ext_x)
+    return None
 
 
 def default_cand_capacity(n, capacity):
@@ -493,9 +522,22 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
         kernel_mode = "interpret" if _INTERPRET_KERNELS else "native"
     if (method == "auto"
             and not isinstance(coords, jax.core.Tracer)
-            and not isinstance(radii, jax.core.Tracer)
-            and _route_hetero_eager(coords, radii, kernel_mode)):
-        method = "hetero"
+            and not isinstance(radii, jax.core.Tracer)):
+        stats = _route_hetero_eager(coords, radii, kernel_mode)
+        if stats is not None:
+            method = "hetero"
+            n = jnp.asarray(coords).shape[0]
+            if (gx is None and gxy is None and col_capacity is None
+                    and slab_rows is None and n >= HETERO_SLAB_MIN):
+                # Size the slab pass for the PARKED small class (the
+                # probe's r_small), not the uniform default's
+                # 1/sqrt(n) guess — mixed-radii scenes need wider
+                # slabs per sphere to keep windows near one row.
+                from .slabs import default_slab_config
+
+                r_small, ext_x = stats
+                gx = default_slab_config(
+                    n, r_max=r_small, ext=ext_x)[0]
     return _collide(
         coords, radii, capacity, stack_depth, method, grid_dim,
         cell_capacity, gxy, col_capacity, slab_rows, rpw, cand_capacity,
@@ -513,6 +555,15 @@ def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
     coords = jnp.asarray(coords)
     radii = jnp.asarray(radii)
     n = coords.shape[0]
+
+    # The hetero engine's S-S pass: slab above the crossover, column
+    # when the caller pinned column knobs (the Collider's column-stat
+    # hetero ladder does) or below it. Decided before the knob defaults
+    # resolve — afterwards "None" is no longer observable.
+    col_pinned = (gxy is not None or col_capacity is not None
+                  or slab_rows is not None)
+    hetero_engine = ("column" if col_pinned or n < HETERO_SLAB_MIN
+                     else "slab")
 
     if grid_dim is None or cell_capacity is None:
         auto_gd, auto_mc = default_grid_config(n)
@@ -573,6 +624,7 @@ def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
             coords, radii, capacity, nb, rpw, cand_capacity,
             lo_scene, hi_scene, kernel_mode=kernel_mode,
             gxy=gxy, col_capacity=col_capacity, slab_rows=slab_rows,
+            engine=hetero_engine, gx=gx,
         )
     if method == "grid":
         return _grid_collide(
@@ -864,6 +916,22 @@ class Collider:
         c32 = jnp.asarray(coords, jnp.float32)
         r32 = jnp.asarray(radii, jnp.float32)
         nb0 = default_nb(self.size)
+        if self.size >= HETERO_SLAB_MIN:
+            # Slab S-S pass first (the fast shape): size gx for the
+            # parked small class, escalate it when the dual dispatch's
+            # residual capacities trip (narrower slabs -> narrower
+            # windows), then fall back to the column-stat ladder below.
+            from .slabs import default_slab_config
+
+            _, r_small, ext_x = _hetero_stats(c32, r32, nb0)
+            gx = default_slab_config(
+                self.size, r_max=float(r_small), ext=float(ext_x))[0]
+            for _ in range(3):
+                res = collide(coords, radii, capacity, method="hetero",
+                              nb=nb0, gx=gx)
+                if res.ok is not None and bool(res.ok):
+                    return res
+                gx = int(gx * 1.5) + 1
         nb_cap = max(CHUNK, (self.size // (2 * CHUNK)) * CHUNK)
         tried = set()
         for nb in (nb0, nb0 * 4, nb0 * 16):

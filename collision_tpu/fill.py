@@ -807,13 +807,27 @@ def slab_mask_fill(coords, radii, capacity, gx, col_capacity, slab_rows,
 def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
                          slab_rows, rpw, interpret, kcap=None,
                          emit_blk=None, emit_mode=None, dual=False):
-    from .columns import LANE
-    from .kernels.slab_sweep import slab_sweep_masks
-    from .slabs import plan_slabs, residual_pairs
+    from .slabs import plan_slabs
 
     plan = plan_slabs(
         jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
         gx, col_capacity, slab_rows)
+    return slab_fill_from_plan(plan, capacity, rpw, interpret, kcap,
+                               emit_blk, emit_mode, dual)
+
+
+def slab_fill_from_plan(plan, capacity, rpw=1, interpret=False, kcap=None,
+                        emit_blk=None, emit_mode=None, dual=False):
+    """(ida, idb, total, ok) from a prebuilt :class:`~collision_tpu.slabs
+    .SlabPlan` — the engine core of :func:`slab_mask_fill`, shared with
+    the hetero engine's S-S pass (hetero.py builds the plan over the
+    *parked* radii and reuses this emission verbatim). ``capacity == 0``
+    returns empty pair buffers with the exact total (the dual count's
+    fill-side twin)."""
+    from .columns import LANE
+    from .kernels.slab_sweep import slab_sweep_masks
+    from .slabs import residual_pairs
+
     if dual:
         rpw = 1
         sweep_plan = plan._replace(wcap=jnp.minimum(plan.wcap, LANE))

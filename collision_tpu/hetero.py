@@ -67,15 +67,26 @@ def _bigs_table(coords, radii, bidx, nb):
 
 @partial(jax.jit, static_argnames=(
     "capacity", "nb", "gxy", "col_capacity", "slab_rows", "rpw",
-    "interpret"))
+    "interpret", "engine", "gx"))
 def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
                    col_capacity=None, slab_rows=None, rpw=1,
-                   interpret=False):
+                   interpret=False, engine="column", gx=None):
     """One heterogeneous-radii broad-phase step.
 
     Returns (pairs[capacity, 2] | None, total u32, ok bool). Pair order:
-    S-S pairs (mask-word order, as mask_fill), then B-S, then B-B —
-    deterministic.
+    S-S pairs (mask-word order, as mask_fill), then the S-S residual
+    pairs (slab engine only), then B-S, then B-B — deterministic.
+
+    ``engine`` picks the S-S pass: "column" (the round-3 shape: parked
+    column plan + banded sweep) or "slab" (round 4: the parked scene
+    through the x-sorted slab plan and its dual-dispatch count/fill —
+    the flagship uniform path, ~2x faster at 1M, so the hetero premium
+    collapses to the dense big passes). The big/small split and the
+    B-S / B-B passes are identical either way (kernels/bigpass.py is
+    sort-order-agnostic: it reads only stream channels 0-6). With
+    ``engine="slab"``, ``gx``/``col_capacity``/``slab_rows`` take slab
+    semantics (slabs.default_slab_config) and ``rpw`` is ignored (the
+    dual dispatch has no rows-per-window knob); ``gxy`` is unused.
     """
     from .fill import _pick_emit
     from .kernels.bigpass import big_pairs
@@ -101,6 +112,14 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
     bidx = bidx.astype(jnp.int32)
     parked = radii.at[bidx].set(-jnp.inf)
 
+    bigs_t = _bigs_table(coords, radii, bidx, nb)
+    if engine == "slab":
+        return _hetero_slab(coords, radii, parked, bigs_t, bidx, nb,
+                            capacity, gx, col_capacity, slab_rows,
+                            interpret)
+    if engine != "column":
+        raise ValueError("Unknown hetero engine: {}".format(engine))
+
     if gxy is None or col_capacity is None or slab_rows is None:
         d_gxy, d_cc, d_sr = default_column_config(n)
         gxy = d_gxy if gxy is None else gxy
@@ -108,19 +127,8 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
         slab_rows = d_sr if slab_rows is None else slab_rows
 
     plan = plan_columns(coords, parked, gxy, col_capacity, slab_rows)
-    bigs_t = _bigs_table(coords, radii, bidx, nb)
 
-    # --- B-B: brute-force [nb, nb] with i < j dedup ---
-    bc = jnp.take(coords, bidx, axis=0)
-    br = jnp.take(radii, bidx)
-    lo = bc - br[:, None]
-    hi = bc + br[:, None]
-    mbb = jnp.ones((nb, nb), jnp.bool_)
-    for a in range(3):
-        mbb &= (hi[:, None, a] > lo[None, :, a]) \
-            & (lo[:, None, a] < hi[None, :, a])
-    mbb &= jnp.arange(nb)[:, None] < jnp.arange(nb)[None, :]
-    tot_bb = jnp.sum(mbb, dtype=jnp.uint32)
+    mbb, tot_bb = _bb_mask(coords, radii, bidx, nb)
 
     sok = plan.ok & (plan.rows_rolled <= rpw)
 
@@ -158,6 +166,30 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
     bsa, bsb, tot_bs, ovf_bs = big_pairs(
         bigs_t, plan.stream, capacity, interpret=interpret)
 
+    bba, bbb, bb_cap = _bb_extract(mbb, bidx, nb, capacity, interpret)
+    pairs, total = _assemble(sa, sb, tot_s, bsa, bsb, tot_bs,
+                             bba, bbb, bb_cap, tot_bb, capacity)
+    return pairs, total, sok & ovf_s & ovf_bs
+
+
+def _bb_mask(coords, radii, bidx, nb):
+    """B-B: brute-force [nb, nb] strict-overlap mask with i < j dedup."""
+    bc = jnp.take(coords, bidx, axis=0)
+    br = jnp.take(radii, bidx)
+    lo = bc - br[:, None]
+    hi = bc + br[:, None]
+    mbb = jnp.ones((nb, nb), jnp.bool_)
+    for a in range(3):
+        mbb &= (hi[:, None, a] > lo[None, :, a]) \
+            & (lo[:, None, a] < hi[None, :, a])
+    mbb &= jnp.arange(nb)[:, None] < jnp.arange(nb)[None, :]
+    return mbb, jnp.sum(mbb, dtype=jnp.uint32)
+
+
+def _bb_extract(mbb, bidx, nb, capacity, interpret):
+    """Original-id B-B pair buffers from the dedup'd overlap mask."""
+    from .kernels.compact import compact_mask
+
     bb_cap = int(min(capacity, nb * (nb - 1) // 2))
     bb_idx, _ = compact_mask(mbb.reshape(-1), max(bb_cap, 8),
                              interpret=interpret)
@@ -167,12 +199,15 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
     bb_live = bb_idx != NO_PAIR
     bba = jnp.where(bb_live, bba, jnp.uint32(NO_PAIR))[:bb_cap]
     bbb = jnp.where(bb_live, bbb, jnp.uint32(NO_PAIR))[:bb_cap]
+    return bba, bbb, bb_cap
 
+
+def _assemble(sa, sb, tot_s, bsa, bsb, tot_bs, bba, bbb, bb_cap, tot_bb,
+              capacity):
+    """Concatenate S-S, B-S, B-B pair segments, truncated at capacity."""
     total = tot_s + tot_bs + tot_bb
     ts = jnp.minimum(tot_s, jnp.uint32(capacity)).astype(jnp.int32)
     tbs = jnp.minimum(tot_bs, jnp.uint32(capacity)).astype(jnp.int32)
-
-    # --- assemble: S pairs, then B-S, then B-B, truncated at capacity ---
     q = jnp.arange(capacity, dtype=jnp.int32)
     in_s = q < ts
     in_bs = ~in_s & (q < ts + tbs)
@@ -189,4 +224,52 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
     pairs = jnp.where(
         live[:, None],
         jnp.stack([ida, idb], axis=1), jnp.uint32(NO_PAIR))
-    return pairs, total, sok & ovf_s & ovf_bs
+    return pairs, total
+
+
+def _hetero_slab(coords, radii, parked, bigs_t, bidx, nb, capacity, gx,
+                 col_capacity, slab_rows, interpret):
+    """S-S through the slab engine: the round-4 hetero fast path.
+
+    The parked scene flows through the x-sorted slab plan and the
+    dual-dispatch count/fill (kernels/slab_sweep.py, fill.py) — the same
+    flagship path the uniform benchmark runs, so the hetero premium is
+    just the dense B-S/B-B passes. Correct because the slab invariant
+    (colliding pairs within one slab of each other, slabs.py) only needs
+    the *participating* pair's radii: parked bigs carry empty AABBs and
+    never pass an S-S test, and the plan's r_max is the parked
+    small-class max (jnp.max ignores -inf). ``ok`` folds the plan
+    capacities, the residual-job/pair capacities, and the int32 guard;
+    the Collider escalates ``gx`` on False. Capability parity target:
+    radius-agnostic traversal, collision.cl:174-226.
+    """
+    from .fill import slab_fill_from_plan
+    from .kernels.bigpass import big_count_only, big_pairs
+    from .kernels.slab_sweep import slab_count_dual
+    from .slabs import default_slab_config, plan_slabs
+
+    n = coords.shape[0]
+    if gx is None or col_capacity is None or slab_rows is None:
+        d_gx, d_cc, d_sr = default_slab_config(n, gx=gx)
+        gx = d_gx if gx is None else gx
+        col_capacity = d_cc if col_capacity is None else col_capacity
+        slab_rows = d_sr if slab_rows is None else slab_rows
+
+    plan = plan_slabs(coords, parked, gx, col_capacity, slab_rows)
+    mbb, tot_bb = _bb_mask(coords, radii, bidx, nb)
+
+    if capacity == 0:
+        cnt_s, s_ok = slab_count_dual(plan, interpret=interpret)
+        tot_bs, ovf_bs = big_count_only(
+            bigs_t, plan.stream, interpret=interpret)
+        total = cnt_s.astype(jnp.uint32) + tot_bs + tot_bb
+        return None, total, plan.ok & s_ok & ovf_bs
+
+    sa, sb, tot_s, s_ok = slab_fill_from_plan(
+        plan, capacity, interpret=interpret, dual=True)
+    bsa, bsb, tot_bs, ovf_bs = big_pairs(
+        bigs_t, plan.stream, capacity, interpret=interpret)
+    bba, bbb, bb_cap = _bb_extract(mbb, bidx, nb, capacity, interpret)
+    pairs, total = _assemble(sa, sb, tot_s, bsa, bsb, tot_bs,
+                             bba, bbb, bb_cap, tot_bb, capacity)
+    return pairs, total, s_ok & ovf_bs

@@ -88,7 +88,13 @@ def default_slab_config(n, r_max=None, ext=None, target_slack=24, gx=None):
             gx = 3.0 * float(r_max) * n / (float(ext) * target_slack)
         else:
             gx = 3.0 * (n ** 0.5) / target_slack
-    gx = int(np.clip(round(gx), 1, 512))
+    # The cap bounds the kernel grid, not correctness. 512 sufficed for
+    # uniform scenes (gx ~ 3*sqrt(n)/24 = 125 at 1M) but the hetero
+    # engine's parked small class has r_max ~10x the uniform guess and
+    # needs gx ~ 2*r_max*n/slack to pull windows under 128 lanes
+    # (~1800 at the 1M power-law reference scene) — a 512 clip silently
+    # dead-ended its gx escalation at permanently-overflowing residuals.
+    gx = int(np.clip(round(gx), 1, 4096))
     occ = n / gx
     col_cap = int(round_up(int(occ + 6 * occ ** 0.5 + 16), CHUNK))
     col_cap = min(col_cap, int(round_up(n, CHUNK)))

@@ -104,3 +104,100 @@ def test_overflow_contract():
     assert int(total) == len(expected)
     got = {(min(a, b), max(a, b)) for a, b in np.asarray(pairs)[:cap]}
     assert got <= expected and len(got) == cap
+
+
+def _run_slab(coords, radii, nb, cap_extra=16):
+    """Slab-engine variant of _run: escalate gx (the dual dispatch has
+    no rpw knob; residual capacities narrow with more slabs)."""
+    expected = brute_force_collisions(coords, radii)
+    cap = len(expected) + cap_extra
+    pairs = total = ok = None
+    gx = None
+    for gx in (None, 8, 16, 32, 64):
+        pairs, total, ok = hetero_collide(
+            jnp.asarray(coords), jnp.asarray(radii), cap, nb=nb,
+            interpret=True, engine="slab", gx=gx)
+        if bool(ok):
+            break
+    assert bool(ok)
+    assert int(total) == len(expected)
+    got = {(min(a, b), max(a, b))
+           for a, b in np.asarray(pairs)[:int(total)]}
+    assert got == expected
+    assert (np.asarray(pairs)[int(total):] == 0xFFFFFFFF).all()
+
+    _, total2, ok2 = hetero_collide(
+        jnp.asarray(coords), jnp.asarray(radii), 0, nb=nb,
+        interpret=True, engine="slab", gx=gx)
+    assert bool(ok2) and int(total2) == len(expected)
+
+
+def test_slab_engine_power_law():
+    """The round-4 hetero fast path (S-S through the slab engine) is
+    oracle-exact on the power-law scene — fill and count."""
+    rng = np.random.RandomState(0)
+    n = 1500
+    coords = rng.random((n, 3)).astype("float32")
+    radii = (0.004 * (1 + rng.pareto(1.2, n))).clip(0, 0.35)\
+        .astype("float32")
+    _run_slab(coords, radii, nb=128)
+
+
+def test_slab_engine_giant_sphere():
+    rng = np.random.RandomState(1)
+    n = 800
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 0.02, n).astype("float32")
+    radii[17] = 0.4
+    _run_slab(coords, radii, nb=64)
+
+
+def test_slab_engine_uniform_scene():
+    # No actual heterogeneity: the slab S-S pass over a parked uniform
+    # scene must still be exact.
+    rng = np.random.RandomState(3)
+    n = 1000
+    coords = rng.random((n, 3)).astype("float32")
+    radii = rng.uniform(0, 1.5 / np.sqrt(n), n).astype("float32")
+    _run_slab(coords, radii, nb=128)
+
+
+def test_collide_auto_routes_slab_hetero(monkeypatch):
+    """Public ``collide(method="auto")`` above HETERO_SLAB_MIN routes a
+    heterogeneous scene to the hetero engine's SLAB S-S pass with a
+    stats-sized gx, and the Collider retry reaches exact through the
+    slab ladder (thresholds lowered so interpret mode stays fast)."""
+    from collision_tpu import collide, collider, interpret_kernels
+    from collision_tpu.testing import brute_force_collisions as oracle
+
+    rng = np.random.RandomState(7)
+    n = 1200
+    coords = rng.random((n, 3)).astype("float32")
+    radii = (0.004 * (1 + rng.pareto(1.2, n))).clip(0, 0.3)\
+        .astype("float32")
+    expected = oracle(coords, radii)
+    cap = len(expected) + 8
+    monkeypatch.setattr(collider, "HETERO_AUTO_MIN", 256)
+    monkeypatch.setattr(collider, "HETERO_SLAB_MIN", 256)
+
+    calls = []
+    import collision_tpu.hetero as hetero_mod
+    real = hetero_mod._hetero_slab
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(hetero_mod, "_hetero_slab", spy)
+    with interpret_kernels():
+        res = collide(jnp.asarray(coords), jnp.asarray(radii), cap)
+        if not bool(res.ok):
+            c = collider.Collider(n)
+            count, pairs = c.get_collisions(coords, radii, cap)
+        else:
+            count, pairs = res.count, res.pairs
+    assert calls, "slab hetero pass was not used"
+    assert int(count) == len(expected)
+    got = {(min(a, b), max(a, b))
+           for a, b in np.asarray(pairs)[:int(count)]}
+    assert got == expected
