@@ -1,0 +1,182 @@
+"""Round-5 measurements: hetero slab-engine step and public-API routing.
+
+The round-4 jsonl's hetero row measured the COLUMN S-S pass (gxy=26);
+the public route above HETERO_SLAB_MIN now runs the slab S-S pass with
+a stats-sized gx. This experiment measures what a user actually gets:
+
+  hetero:  public collide(method="auto") on the 1M power-law reference
+           scene — count and fill, slab S-S engine, gx from the eager
+           stats probe — against the 3x-uniform bar (VERDICT r3 item 1).
+  fillsplit: the slab fill's stage ladder at 1M capacity-16384 on the
+           round-5 kernels (plan | masks+popcount | residual | count |
+           full fill), to locate the 15 -> 12 ms levers (r3 item 3).
+
+Usage: python -u benchmarks/exp_r5.py [hetero|fillsplit]
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def chain_time(make_step, k=8, repeats=3):
+    @partial(jax.jit, static_argnames=("kk",))
+    def chain(seed, kk):
+        return jax.lax.fori_loop(0, kk, lambda _, s: make_step(s), seed)
+
+    def run(kk):
+        np.asarray(chain(jnp.float32(0), kk))
+        best = float("inf")
+        for _ in range(repeats):
+            t = time.perf_counter()
+            np.asarray(chain(jnp.float32(0), kk))
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    return max((run(k + 1) - run(1)) / k * 1e3, 0.0)
+
+
+def powerlaw_scene(n=1_000_000, seed=4):
+    rng = np.random.RandomState(seed)
+    coords = jnp.asarray(rng.random((n, 3)).astype("float32"))
+    r = (1.0 / n ** 0.5) * (rng.pareto(2.5, n) + 0.2)
+    radii = jnp.asarray(np.clip(r, 0, 0.05).astype("float32"))
+    return coords, radii
+
+
+def hetero_public():
+    """Public-API hetero step (slab S-S): the round-4 wiring, measured."""
+    from collision_tpu import collide
+    from collision_tpu.collider import (
+        _hetero_stats, _quantize_gx)
+    from collision_tpu.hetero import default_nb
+    from collision_tpu.slabs import default_slab_config
+
+    n = 1_000_000
+    capacity = 16384
+    coords, radii = powerlaw_scene(n)
+    print("backend:", jax.devices()[0].platform, flush=True)
+    eps = jnp.float32(1e-9)
+
+    # The gx the eager auto route derives (quantized).
+    nb = default_nb(n)
+    r_max, r_small, ext_x = _hetero_stats(coords, radii, nb)
+    gx = _quantize_gx(default_slab_config(
+        n, r_max=float(r_small), ext=float(ext_x))[0])
+    out = {"name": "r5-hetero-slab-1M", "nb": nb, "gx": gx,
+           "r_max": round(float(r_max), 5),
+           "r_small": round(float(r_small), 5)}
+
+    # Exactness checks through the public API first (eager).
+    res_c = collide(coords, radii, 0)
+    out["count"] = int(res_c.count)
+    out["count_ok"] = bool(res_c.ok)
+    res_f = collide(coords, radii, capacity)
+    out["fill_ok"] = bool(res_f.ok)
+    assert int(res_f.count) == int(res_c.count)
+
+    # Chained step timings at the routed configuration (static knobs
+    # pinned to what the eager route chose, so the traced chain matches).
+    from collision_tpu.hetero import hetero_collide
+
+    def h_count(s):
+        _, tot, ok = hetero_collide(
+            coords + s * jnp.float32(1e-12), radii, 0, nb=nb,
+            engine="slab", gx=gx)
+        return tot.astype(jnp.float32) * eps + ok.astype(jnp.float32) * eps
+
+    out["count_ms"] = round(chain_time(h_count, k=4), 3)
+    print("count_ms", out["count_ms"], flush=True)
+
+    def h_fill(s):
+        pairs, tot, ok = hetero_collide(
+            coords + s * jnp.float32(1e-12), radii, capacity, nb=nb,
+            engine="slab", gx=gx)
+        return tot.astype(jnp.float32) * eps \
+            + (pairs[0, 0] % 2).astype(jnp.float32) * eps
+
+    out["fill_ms"] = round(chain_time(h_fill, k=4), 3)
+    print("fill_ms", out["fill_ms"], flush=True)
+    print("ROW " + json.dumps(out), flush=True)
+
+
+def fill_splits():
+    """Slab-fill stage ladder at 1M/16384 on the round-5 kernels."""
+    from collision_tpu.fill import slab_mask_fill
+    from collision_tpu.kernels.slab_sweep import (
+        slab_count_dual, slab_sweep_masks)
+    from collision_tpu.slabs import (
+        default_slab_config, plan_slabs, residual_pairs)
+
+    n = 1_000_000
+    capacity = 16384
+    rng = np.random.RandomState(4)
+    coords = jnp.asarray(rng.random((n, 3)).astype("float32"))
+    radii = jnp.asarray(
+        rng.uniform(0, 1 / n ** 0.5, n).astype("float32"))
+    gx, cc, sr = default_slab_config(n)
+    print("backend:", jax.devices()[0].platform, "gx:", gx, flush=True)
+    out = {"name": "r5-slabfill-split-1M", "gx": gx}
+    eps = jnp.float32(1e-9)
+
+    def stage(key, fn, k=8):
+        out[key] = round(chain_time(fn, k=k), 3)
+        print(key, out[key], "ms", flush=True)
+
+    def s_plan(s):
+        p = plan_slabs(coords + s * jnp.float32(1e-12), radii, gx, cc, sr)
+        return p.stream[0, 0, 0] * eps + p.w0[0, 0].astype(jnp.float32) \
+            * eps
+
+    stage("plan_ms", s_plan)
+
+    def s_count(s):
+        p = plan_slabs(coords + s * jnp.float32(1e-12), radii, gx, cc, sr)
+        cnt, okd = slab_count_dual(p)
+        return cnt.astype(jnp.float32) * eps
+
+    stage("plan_count_ms", s_count)
+
+    def s_masks(s):
+        p = plan_slabs(coords + s * jnp.float32(1e-12), radii, gx, cc, sr)
+        sp = p._replace(wcap=jnp.minimum(p.wcap, 128))
+        B = slab_sweep_masks(sp, rpw=1, interpret=False)
+        rp = jnp.sum(jax.lax.population_count(B).astype(jnp.int32),
+                     axis=2, dtype=jnp.int32)
+        return jnp.sum(rp, dtype=jnp.int32).astype(jnp.float32) * eps
+
+    stage("plan_masks_ms", s_masks)
+
+    def s_resid(s):
+        p = plan_slabs(coords + s * jnp.float32(1e-12), radii, gx, cc, sr)
+        rida, ridb, rcount, r_ok = residual_pairs(p, interpret=False)
+        return rcount.astype(jnp.float32) * eps \
+            + (rida[0] % 2).astype(jnp.float32) * eps
+
+    stage("plan_residual_ms", s_resid)
+
+    def s_full(s):
+        ida, idb, tot, ok = slab_mask_fill(
+            coords + s * jnp.float32(1e-12), radii, capacity, gx, cc, sr,
+            dual=True)
+        return tot.astype(jnp.float32) * eps \
+            + (ida[0] % 2).astype(jnp.float32) * eps
+
+    stage("full_fill_ms", s_full)
+    print("ROW " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "hetero"
+    if which == "hetero":
+        hetero_public()
+    elif which == "fillsplit":
+        fill_splits()
+    else:
+        raise SystemExit("unknown mode: " + which)

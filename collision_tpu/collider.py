@@ -419,6 +419,27 @@ def _hetero_collide(coords, radii, capacity, nb, rpw, cand_capacity,
     return CollisionResult(total, pairs, lo_scene, hi_scene, ok=ok)
 
 
+def _quantize_gx(gx):
+    """Round a derived slab count up to a coarse geometric bucket
+    (~1.25x steps from 8) so eager re-derivations from drifting scene
+    stats hit the jit cache: ``gx`` is a static knob of the jitted
+    step, and in an eager simulation loop the scene extent moves every
+    frame — an unquantized ``round(3*r*n/(ext*24))`` changes by ±1
+    nearly every step, forcing a full XLA recompile per step. The
+    ok/retry contract covers a slightly oversized bucket (a finer grid
+    never changes results; cells clamp at 2*r_max)."""
+    import math
+
+    gx = max(int(gx), 1)
+    if gx <= 8:
+        return gx
+    step = max(int(math.ceil(math.log(gx / 8.0) / math.log(1.25))), 0)
+    q = int(math.ceil(8 * 1.25 ** step))
+    while q < gx:
+        q = int(math.ceil(q * 1.25))
+    return min(q, 4096)
+
+
 @partial(jax.jit, static_argnames=("nb",))
 def _radius_spread(radii, nb):
     """(r_max, r_small): the scene's max radius and the small-class max
@@ -437,16 +458,32 @@ def _hetero_stats(coords, radii, nb):
     return top[0], top[nb], jnp.max(x) - jnp.min(x)
 
 
-def _route_hetero_eager(coords, radii, kernel_mode):
+def _effective_nb(n, nb):
+    """The big-set size :func:`hetero.hetero_collide` will actually park
+    for an n-sphere scene and a caller-requested ``nb`` (None = default)
+    — mirrors its clamping so routing stats describe the radii that
+    really remain in the S-S pass."""
+    from .columns import CHUNK
+    from .hetero import default_nb
+
+    if nb is None:
+        return default_nb(n)
+    eff = min(int(nb), (n // CHUNK) * CHUNK) or min(CHUNK, n)
+    return min(max(eff, 1), n - 1)
+
+
+def _route_hetero_eager(coords, radii, kernel_mode, nb=None):
     """(r_small, ext_x) when an eager "auto" call should use the hetero
     engine, None otherwise — the stats size the slab-pass ``gx``.
 
     Only consulted with concrete (non-traced) inputs: one tiny jitted
     probe reads the radius spread + x extent; traced calls (sim loops)
     keep static routing and rely on the ok/retry contract. The probe
-    costs one fetch — microseconds on real hardware."""
+    costs one fetch — microseconds on real hardware. ``nb`` is the
+    caller's big-set request: the spread is measured at the nb that
+    will actually be parked, so a caller pinning a larger (or smaller)
+    big set gets a slab pass sized for *its* remaining small class."""
     from .columns import CHUNK
-    from .hetero import default_nb
 
     n = coords.shape[0]
     if n < HETERO_AUTO_MIN or n <= CHUNK:
@@ -455,7 +492,8 @@ def _route_hetero_eager(coords, radii, kernel_mode):
     on_tpu = jax.default_backend() == "tpu" and f32
     if not (on_tpu or (kernel_mode == "interpret" and f32)):
         return None
-    r_max, r_small, ext_x = _hetero_stats(coords, radii, default_nb(n))
+    r_max, r_small, ext_x = _hetero_stats(
+        coords, radii, _effective_nb(n, nb))
     if float(r_max) > HETERO_ROUTE_FACTOR * float(r_small):
         return float(r_small), float(ext_x)
     return None
@@ -520,50 +558,62 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
     """
     if kernel_mode is None:
         kernel_mode = "interpret" if _INTERPRET_KERNELS else "native"
+    n = np.shape(coords)[0]
+    # The hetero engine's S-S pass: slab above the crossover, column
+    # when the caller pinned column knobs (the Collider's column-stat
+    # hetero ladder does) or below it. Decided HERE — eagerly, per
+    # call — and threaded as a static arg so the jitted executable is
+    # keyed on the choice (a global read at trace time would pin the
+    # first call's decision into the cache).
+    col_pinned = (gxy is not None or col_capacity is not None
+                  or slab_rows is not None)
+    hetero_engine = ("column" if col_pinned or n < HETERO_SLAB_MIN
+                     else "slab")
     if (method == "auto"
             and not isinstance(coords, jax.core.Tracer)
             and not isinstance(radii, jax.core.Tracer)):
-        stats = _route_hetero_eager(coords, radii, kernel_mode)
+        stats = _route_hetero_eager(coords, radii, kernel_mode, nb=nb)
         if stats is not None:
             method = "hetero"
-            n = jnp.asarray(coords).shape[0]
-            if (gx is None and gxy is None and col_capacity is None
-                    and slab_rows is None and n >= HETERO_SLAB_MIN):
+            if gx is None and not col_pinned and n >= HETERO_SLAB_MIN:
                 # Size the slab pass for the PARKED small class (the
                 # probe's r_small), not the uniform default's
                 # 1/sqrt(n) guess — mixed-radii scenes need wider
-                # slabs per sphere to keep windows near one row.
+                # slabs per sphere to keep windows near one row. The
+                # bucket quantization keeps the derived knob cache-
+                # stable across frames of a moving scene.
                 from .slabs import default_slab_config
 
                 r_small, ext_x = stats
-                gx = default_slab_config(
-                    n, r_max=r_small, ext=ext_x)[0]
+                gx = _quantize_gx(default_slab_config(
+                    n, r_max=r_small, ext=ext_x)[0])
     return _collide(
         coords, radii, capacity, stack_depth, method, grid_dim,
         cell_capacity, gxy, col_capacity, slab_rows, rpw, cand_capacity,
-        gx, nb, kernel_mode)
+        gx, nb, kernel_mode, hetero_engine)
 
 
 @partial(jax.jit, static_argnames=(
     "capacity", "stack_depth", "method", "grid_dim", "cell_capacity",
     "gxy", "col_capacity", "slab_rows", "rpw", "cand_capacity", "gx",
-    "nb", "kernel_mode"))
+    "nb", "kernel_mode", "hetero_engine"))
 def _collide(coords, radii, capacity, stack_depth=STACK_DEPTH,
              method="auto", grid_dim=None, cell_capacity=None, gxy=None,
              col_capacity=None, slab_rows=None, rpw=DEFAULT_RPW,
-             cand_capacity=None, gx=None, nb=None, kernel_mode="native"):
+             cand_capacity=None, gx=None, nb=None, kernel_mode="native",
+             hetero_engine=None):
     coords = jnp.asarray(coords)
     radii = jnp.asarray(radii)
     n = coords.shape[0]
 
-    # The hetero engine's S-S pass: slab above the crossover, column
-    # when the caller pinned column knobs (the Collider's column-stat
-    # hetero ladder does) or below it. Decided before the knob defaults
-    # resolve — afterwards "None" is no longer observable.
-    col_pinned = (gxy is not None or col_capacity is not None
-                  or slab_rows is not None)
-    hetero_engine = ("column" if col_pinned or n < HETERO_SLAB_MIN
-                     else "slab")
+    if hetero_engine is None:
+        # Back-compat for direct _collide callers; :func:`collide`
+        # always threads an explicit choice (made eagerly per call, so
+        # monkeypatched thresholds and knob changes re-key the cache).
+        col_pinned = (gxy is not None or col_capacity is not None
+                      or slab_rows is not None)
+        hetero_engine = ("column" if col_pinned or n < HETERO_SLAB_MIN
+                         else "slab")
 
     if grid_dim is None or cell_capacity is None:
         auto_gd, auto_mc = default_grid_config(n)
@@ -921,17 +971,33 @@ class Collider:
             # parked small class, escalate it when the dual dispatch's
             # residual capacities trip (narrower slabs -> narrower
             # windows), then fall back to the column-stat ladder below.
+            # The component flags gate the ladder: gx only fixes the
+            # plan/residual capacities, so a failure in the
+            # gx-independent side (B-S emitter, int32 wrap, emission
+            # truncation) breaks out immediately instead of burning up
+            # to three fresh compiles (each gx is a new static
+            # signature) that cannot succeed.
+            from .hetero import hetero_collide
             from .slabs import default_slab_config
 
+            on_tpu = jax.default_backend() == "tpu"
             _, r_small, ext_x = _hetero_stats(c32, r32, nb0)
-            gx = default_slab_config(
-                self.size, r_max=float(r_small), ext=float(ext_x))[0]
+            gx = _quantize_gx(default_slab_config(
+                self.size, r_max=float(r_small), ext=float(ext_x))[0])
+            lo_s, hi_s = scene_bounds(c32)
             for _ in range(3):
-                res = collide(coords, radii, capacity, method="hetero",
-                              nb=nb0, gx=gx)
-                if res.ok is not None and bool(res.ok):
-                    return res
-                gx = int(gx * 1.5) + 1
+                pairs, total, ok, (gx_ok, other_ok) = hetero_collide(
+                    coords, radii, capacity, nb=nb0, engine="slab",
+                    gx=gx, interpret=not on_tpu, with_flags=True)
+                if bool(ok):
+                    return CollisionResult(
+                        total, pairs, lo_s, hi_s, ok=ok)
+                if not bool(other_ok):
+                    break
+                ngx = _quantize_gx(int(gx * 1.5) + 1)
+                if ngx == gx:  # ladder capped out (gx clip)
+                    break
+                gx = ngx
         nb_cap = max(CHUNK, (self.size // (2 * CHUNK)) * CHUNK)
         tried = set()
         for nb in (nb0, nb0 * 4, nb0 * 16):

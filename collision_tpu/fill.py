@@ -817,13 +817,19 @@ def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
 
 
 def slab_fill_from_plan(plan, capacity, rpw=1, interpret=False, kcap=None,
-                        emit_blk=None, emit_mode=None, dual=False):
+                        emit_blk=None, emit_mode=None, dual=False,
+                        split_ok=False):
     """(ida, idb, total, ok) from a prebuilt :class:`~collision_tpu.slabs
     .SlabPlan` — the engine core of :func:`slab_mask_fill`, shared with
     the hetero engine's S-S pass (hetero.py builds the plan over the
     *parked* radii and reuses this emission verbatim). ``capacity == 0``
     returns empty pair buffers with the exact total (the dual count's
-    fill-side twin)."""
+    fill-side twin). ``split_ok`` (dual only) returns
+    (ida, idb, total, gx_ok, other_ok) instead: gx_ok holds the
+    components a finer slab grid can fix (plan capacities, residual
+    jobs), other_ok the ones it cannot (int32 wrap, emission-row
+    truncation) — retry ladders stop escalating gx when other_ok is the
+    failing side."""
     from .columns import LANE
     from .kernels.slab_sweep import slab_sweep_masks
     from .slabs import residual_pairs
@@ -844,13 +850,18 @@ def slab_fill_from_plan(plan, capacity, rpw=1, interpret=False, kcap=None,
         rida, ridb, rcount, r_ok = residual_pairs(plan,
                                                   interpret=interpret)
         total = mask_total + rcount
-        ok = plan.ok & r_ok & no_wrap
+        gx_ok = plan.ok & r_ok
+        ok = gx_ok & no_wrap
     else:
+        if split_ok:
+            raise ValueError("split_ok requires dual=True")
         total = mask_total
         ok = plan.ok & (plan.rows_rolled <= rpw) & no_wrap
     if capacity == 0:
-        return (jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.uint32),
-                total.astype(jnp.uint32), ok)
+        empty = (jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.uint32))
+        if split_ok:
+            return empty + (total.astype(jnp.uint32), gx_ok, no_wrap)
+        return empty + (total.astype(jnp.uint32), ok)
     ids_flat = jax.lax.bitcast_convert_type(
         plan.stream[:, 6, :], jnp.uint32).reshape(-1)
     emit = _pick_emit(capacity, emit_blk, ids_flat.shape[0], interpret,
@@ -871,4 +882,7 @@ def slab_fill_from_plan(plan, capacity, rpw=1, interpret=False, kcap=None,
         live = q < jnp.minimum(total, capacity)
         ida = jnp.where(live, ida, NO_PAIR)
         idb = jnp.where(live, idb, NO_PAIR)
+    if split_ok:
+        return (ida, idb, total.astype(jnp.uint32), gx_ok,
+                no_wrap & trunc_safe)
     return ida, idb, total.astype(jnp.uint32), ok & trunc_safe

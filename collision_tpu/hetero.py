@@ -67,10 +67,11 @@ def _bigs_table(coords, radii, bidx, nb):
 
 @partial(jax.jit, static_argnames=(
     "capacity", "nb", "gxy", "col_capacity", "slab_rows", "rpw",
-    "interpret", "engine", "gx"))
+    "interpret", "engine", "gx", "with_flags"))
 def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
                    col_capacity=None, slab_rows=None, rpw=1,
-                   interpret=False, engine="column", gx=None):
+                   interpret=False, engine="column", gx=None,
+                   with_flags=False):
     """One heterogeneous-radii broad-phase step.
 
     Returns (pairs[capacity, 2] | None, total u32, ok bool). Pair order:
@@ -87,6 +88,13 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
     ``engine="slab"``, ``gx``/``col_capacity``/``slab_rows`` take slab
     semantics (slabs.default_slab_config) and ``rpw`` is ignored (the
     dual dispatch has no rows-per-window knob); ``gxy`` is unused.
+
+    ``with_flags`` (slab engine only) appends a (gx_ok, other_ok) pair
+    to the return: gx_ok holds the ok components a finer slab grid can
+    fix (plan/residual capacities), other_ok the gx-independent ones
+    (B-S emitter overflow, int32 wrap, emission truncation) — the
+    Collider's gx-escalation ladder stops immediately when other_ok is
+    the failing side instead of burning recompiles gx cannot help.
     """
     from .fill import _pick_emit
     from .kernels.bigpass import big_pairs
@@ -116,9 +124,11 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
     if engine == "slab":
         return _hetero_slab(coords, radii, parked, bigs_t, bidx, nb,
                             capacity, gx, col_capacity, slab_rows,
-                            interpret)
+                            interpret, with_flags=with_flags)
     if engine != "column":
         raise ValueError("Unknown hetero engine: {}".format(engine))
+    if with_flags:
+        raise ValueError("with_flags requires engine='slab'")
 
     if gxy is None or col_capacity is None or slab_rows is None:
         d_gxy, d_cc, d_sr = default_column_config(n)
@@ -228,7 +238,7 @@ def _assemble(sa, sb, tot_s, bsa, bsb, tot_bs, bba, bbb, bb_cap, tot_bb,
 
 
 def _hetero_slab(coords, radii, parked, bigs_t, bidx, nb, capacity, gx,
-                 col_capacity, slab_rows, interpret):
+                 col_capacity, slab_rows, interpret, with_flags=False):
     """S-S through the slab engine: the round-4 hetero fast path.
 
     The parked scene flows through the x-sorted slab plan and the
@@ -259,17 +269,25 @@ def _hetero_slab(coords, radii, parked, bigs_t, bidx, nb, capacity, gx,
     mbb, tot_bb = _bb_mask(coords, radii, bidx, nb)
 
     if capacity == 0:
-        cnt_s, s_ok = slab_count_dual(plan, interpret=interpret)
+        cnt_s, r_ok, no_ovf = slab_count_dual(
+            plan, interpret=interpret, split_ok=True)
         tot_bs, ovf_bs = big_count_only(
             bigs_t, plan.stream, interpret=interpret)
         total = cnt_s.astype(jnp.uint32) + tot_bs + tot_bb
-        return None, total, plan.ok & s_ok & ovf_bs
+        gx_ok = plan.ok & r_ok
+        other_ok = no_ovf & ovf_bs
+        if with_flags:
+            return None, total, gx_ok & other_ok, (gx_ok, other_ok)
+        return None, total, gx_ok & other_ok
 
-    sa, sb, tot_s, s_ok = slab_fill_from_plan(
-        plan, capacity, interpret=interpret, dual=True)
+    sa, sb, tot_s, gx_ok, s_other = slab_fill_from_plan(
+        plan, capacity, interpret=interpret, dual=True, split_ok=True)
     bsa, bsb, tot_bs, ovf_bs = big_pairs(
         bigs_t, plan.stream, capacity, interpret=interpret)
     bba, bbb, bb_cap = _bb_extract(mbb, bidx, nb, capacity, interpret)
     pairs, total = _assemble(sa, sb, tot_s, bsa, bsb, tot_bs,
                              bba, bbb, bb_cap, tot_bb, capacity)
-    return pairs, total, s_ok & ovf_bs
+    other_ok = s_other & ovf_bs
+    if with_flags:
+        return pairs, total, gx_ok & other_ok, (gx_ok, other_ok)
+    return pairs, total, gx_ok & other_ok

@@ -579,7 +579,8 @@ def slab_count_guarded(plan: SlabPlan, rpw=1, interpret=False,
     return count, count_f < float(2 ** 31 - 2 ** 26)
 
 
-def slab_count_dual(plan: SlabPlan, interpret=False, j_cap=None):
+def slab_count_dual(plan: SlabPlan, interpret=False, j_cap=None,
+                    split_ok=False):
     """(count, ok) via dual dispatch: 1-row Pallas sweep + XLA residual.
 
     The static rows-per-window knob is brittle: one hot chunk whose
@@ -592,6 +593,11 @@ def slab_count_dual(plan: SlabPlan, interpret=False, j_cap=None):
     False when the residual capacity (job count, or a window wider than
     256 lanes) overflowed; callers then retry via the escalated-rpw
     ladder. Overflow near 2^31 pairs is detected and folded in.
+    ``split_ok`` returns the two components separately as
+    (count, r_ok, no_ovf): r_ok is fixable by a finer slab grid
+    (narrower windows -> fewer/narrower residual jobs), the int32 wrap
+    guard is not — retry ladders use the split to stop escalating gx
+    on failures gx cannot fix.
     """
     from ..slabs import RESIDUAL_JOBS, residual_count
 
@@ -603,6 +609,8 @@ def slab_count_dual(plan: SlabPlan, interpret=False, j_cap=None):
     rcount, r_ok = residual_count(
         plan, RESIDUAL_JOBS if j_cap is None else j_cap)
     no_ovf = count_f < float(2 ** 31 - 2 ** 26)
+    if split_ok:
+        return count + rcount, r_ok, no_ovf
     return count + rcount, r_ok & no_ovf
 
 
