@@ -1,4 +1,4 @@
-"""Round-5 measurements: hetero slab-engine step and public-API routing.
+"""Round-5 measurements: hetero slab-engine step, slab-fill stage split.
 
 The round-4 jsonl's hetero row measured the COLUMN S-S pass (gxy=26);
 the public route above HETERO_SLAB_MIN now runs the slab S-S pass with
@@ -8,10 +8,16 @@ a stats-sized gx. This experiment measures what a user actually gets:
            scene — count and fill, slab S-S engine, gx from the eager
            stats probe — against the 3x-uniform bar (VERDICT r3 item 1).
   fillsplit: the slab fill's stage ladder at 1M capacity-16384 on the
-           round-5 kernels (plan | masks+popcount | residual | count |
-           full fill), to locate the 15 -> 12 ms levers (r3 item 3).
+           round-5 kernels (plan | +count | +masks | +residual | full),
+           to locate the 15 -> 12 ms levers (r3 item 3).
 
-Usage: python -u benchmarks/exp_r5.py [hetero|fillsplit]
+Chain methodology as benchmarks/harness.py: iterations are chained
+on-device with a RESULT-DERIVED f32-visible perturbation (1e-7 on unit
+coords — below that, e.g. 1e-12, the add is bitwise identity and the
+measurement collapses), timed by differencing a k+1-chain and a 1-chain.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+           python -u benchmarks/exp_r5.py [hetero|fillsplit]
 """
 
 import json
@@ -25,21 +31,30 @@ import jax
 import jax.numpy as jnp
 
 
-def chain_time(make_step, k=8, repeats=3):
-    @partial(jax.jit, static_argnames=("kk",))
-    def chain(seed, kk):
-        return jax.lax.fori_loop(0, kk, lambda _, s: make_step(s), seed)
-
+def chain_time(chain, args, k=6, repeats=3):
     def run(kk):
-        np.asarray(chain(jnp.float32(0), kk))
+        np.asarray(jax.tree_util.tree_leaves(chain(args, kk))[0].ravel()[:1])
         best = float("inf")
         for _ in range(repeats):
             t = time.perf_counter()
-            np.asarray(chain(jnp.float32(0), kk))
+            np.asarray(
+                jax.tree_util.tree_leaves(chain(args, kk))[0].ravel()[:1])
             best = min(best, time.perf_counter() - t)
         return best
+    t1 = run(1)
+    tn = run(k + 1)
+    return max((tn - t1) / k * 1e3, 0.0)
 
-    return max((run(k + 1) - run(1)) / k * 1e3, 0.0)
+
+def make_chain(step_probe):
+    """jit'd k-chain of ``coords -> probe`` with an f32-visible
+    result-derived perturbation (see module docstring)."""
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(coords, k):
+        def body(i, c):
+            return c + step_probe(c) * jnp.float32(1e-7)
+        return jax.lax.fori_loop(0, k, body, coords)
+    return chain
 
 
 def powerlaw_scene(n=1_000_000, seed=4):
@@ -53,16 +68,14 @@ def powerlaw_scene(n=1_000_000, seed=4):
 def hetero_public():
     """Public-API hetero step (slab S-S): the round-4 wiring, measured."""
     from collision_tpu import collide
-    from collision_tpu.collider import (
-        _hetero_stats, _quantize_gx)
-    from collision_tpu.hetero import default_nb
+    from collision_tpu.collider import _hetero_stats, _quantize_gx
+    from collision_tpu.hetero import default_nb, hetero_collide
     from collision_tpu.slabs import default_slab_config
 
     n = 1_000_000
     capacity = 16384
     coords, radii = powerlaw_scene(n)
     print("backend:", jax.devices()[0].platform, flush=True)
-    eps = jnp.float32(1e-9)
 
     # The gx the eager auto route derives (quantized).
     nb = default_nb(n)
@@ -81,27 +94,24 @@ def hetero_public():
     out["fill_ok"] = bool(res_f.ok)
     assert int(res_f.count) == int(res_c.count)
 
-    # Chained step timings at the routed configuration (static knobs
-    # pinned to what the eager route chose, so the traced chain matches).
-    from collision_tpu.hetero import hetero_collide
+    def h_count(c):
+        _, tot, ok = hetero_collide(c, radii, 0, nb=nb,
+                                    engine="slab", gx=gx)
+        return (tot % 2).astype(jnp.float32) \
+            + ok.astype(jnp.float32) * jnp.float32(1e-3)
 
-    def h_count(s):
-        _, tot, ok = hetero_collide(
-            coords + s * jnp.float32(1e-12), radii, 0, nb=nb,
-            engine="slab", gx=gx)
-        return tot.astype(jnp.float32) * eps + ok.astype(jnp.float32) * eps
-
-    out["count_ms"] = round(chain_time(h_count, k=4), 3)
+    out["count_ms"] = round(
+        chain_time(make_chain(h_count), coords, k=6), 3)
     print("count_ms", out["count_ms"], flush=True)
 
-    def h_fill(s):
-        pairs, tot, ok = hetero_collide(
-            coords + s * jnp.float32(1e-12), radii, capacity, nb=nb,
-            engine="slab", gx=gx)
-        return tot.astype(jnp.float32) * eps \
-            + (pairs[0, 0] % 2).astype(jnp.float32) * eps
+    def h_fill(c):
+        pairs, tot, ok = hetero_collide(c, radii, capacity, nb=nb,
+                                        engine="slab", gx=gx)
+        return (tot % 2).astype(jnp.float32) \
+            + (pairs[0, 0] % 2).astype(jnp.float32) * jnp.float32(1e-3)
 
-    out["fill_ms"] = round(chain_time(h_fill, k=4), 3)
+    out["fill_ms"] = round(
+        chain_time(make_chain(h_fill), coords, k=6), 3)
     print("fill_ms", out["fill_ms"], flush=True)
     print("ROW " + json.dumps(out), flush=True)
 
@@ -123,50 +133,48 @@ def fill_splits():
     gx, cc, sr = default_slab_config(n)
     print("backend:", jax.devices()[0].platform, "gx:", gx, flush=True)
     out = {"name": "r5-slabfill-split-1M", "gx": gx}
-    eps = jnp.float32(1e-9)
 
-    def stage(key, fn, k=8):
-        out[key] = round(chain_time(fn, k=k), 3)
+    def stage(key, probe, k=6):
+        out[key] = round(chain_time(make_chain(probe), coords, k=k), 3)
         print(key, out[key], "ms", flush=True)
 
-    def s_plan(s):
-        p = plan_slabs(coords + s * jnp.float32(1e-12), radii, gx, cc, sr)
-        return p.stream[0, 0, 0] * eps + p.w0[0, 0].astype(jnp.float32) \
-            * eps
+    def s_plan(c):
+        p = plan_slabs(c, radii, gx, cc, sr)
+        return (p.w0[0, 0] % 2).astype(jnp.float32) \
+            + (p.starts[1] % 2).astype(jnp.float32) * jnp.float32(1e-3)
 
     stage("plan_ms", s_plan)
 
-    def s_count(s):
-        p = plan_slabs(coords + s * jnp.float32(1e-12), radii, gx, cc, sr)
+    def s_count(c):
+        p = plan_slabs(c, radii, gx, cc, sr)
         cnt, okd = slab_count_dual(p)
-        return cnt.astype(jnp.float32) * eps
+        return (cnt % 2).astype(jnp.float32)
 
     stage("plan_count_ms", s_count)
 
-    def s_masks(s):
-        p = plan_slabs(coords + s * jnp.float32(1e-12), radii, gx, cc, sr)
+    def s_masks(c):
+        p = plan_slabs(c, radii, gx, cc, sr)
         sp = p._replace(wcap=jnp.minimum(p.wcap, 128))
         B = slab_sweep_masks(sp, rpw=1, interpret=False)
         rp = jnp.sum(jax.lax.population_count(B).astype(jnp.int32),
                      axis=2, dtype=jnp.int32)
-        return jnp.sum(rp, dtype=jnp.int32).astype(jnp.float32) * eps
+        return (jnp.sum(rp, dtype=jnp.int32) % 2).astype(jnp.float32)
 
     stage("plan_masks_ms", s_masks)
 
-    def s_resid(s):
-        p = plan_slabs(coords + s * jnp.float32(1e-12), radii, gx, cc, sr)
+    def s_resid(c):
+        p = plan_slabs(c, radii, gx, cc, sr)
         rida, ridb, rcount, r_ok = residual_pairs(p, interpret=False)
-        return rcount.astype(jnp.float32) * eps \
-            + (rida[0] % 2).astype(jnp.float32) * eps
+        return (rcount % 2).astype(jnp.float32) \
+            + (rida[0] % 2).astype(jnp.float32) * jnp.float32(1e-3)
 
     stage("plan_residual_ms", s_resid)
 
-    def s_full(s):
+    def s_full(c):
         ida, idb, tot, ok = slab_mask_fill(
-            coords + s * jnp.float32(1e-12), radii, capacity, gx, cc, sr,
-            dual=True)
-        return tot.astype(jnp.float32) * eps \
-            + (ida[0] % 2).astype(jnp.float32) * eps
+            c, radii, capacity, gx, cc, sr, dual=True)
+        return (tot % 2).astype(jnp.float32) \
+            + (ida[0] % 2).astype(jnp.float32) * jnp.float32(1e-3)
 
     stage("full_fill_ms", s_full)
     print("ROW " + json.dumps(out), flush=True)

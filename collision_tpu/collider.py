@@ -450,12 +450,68 @@ def _radius_spread(radii, nb):
 
 @partial(jax.jit, static_argnames=("nb",))
 def _hetero_stats(coords, radii, nb):
-    """(r_max, r_small, ext_x): the radius spread plus the scene's x
-    extent — everything the eager hetero route needs, in ONE device
-    fetch (each fetch pays the full tunnel round-trip here)."""
-    top = jax.lax.top_k(jnp.asarray(radii, jnp.float32), nb + 1)[0]
-    x = jnp.asarray(coords, jnp.float32)[:, 0]
-    return top[0], top[nb], jnp.max(x) - jnp.min(x)
+    """f32[6] = (r_max, r_small, r_mean_small, ext_x, ext_y, ext_z):
+    the radius spread after parking the ``nb`` largest, the remaining
+    small class's mean radius, and the scene extents — everything the
+    eager hetero route needs to size an S-S engine, packed into ONE
+    array so the eager caller pays a single device fetch (each fetch
+    is a full tunnel round-trip here)."""
+    r = jnp.asarray(radii, jnp.float32)
+    n = r.shape[0]
+    top = jax.lax.top_k(r, nb + 1)[0]
+    c = jnp.asarray(coords, jnp.float32)
+    ext = jnp.max(c, axis=0) - jnp.min(c, axis=0)
+    mean_small = (jnp.sum(r, dtype=jnp.float32) - jnp.sum(
+        top[:nb], dtype=jnp.float32)) / jnp.float32(max(n - nb, 1))
+    return jnp.concatenate(
+        [jnp.stack([top[0], top[nb], mean_small]), ext])
+
+
+#: Predicted mean z-window slack (lanes past the 64-lane chunk span)
+#: above which the slab engine's dual dispatch (windows clamped to one
+#: 128-lane row + rare residuals) stops fitting and the hetero S-S
+#: pass routes to the column engine's rolled windows instead.
+#: default_slab_config targets slack 24 on the uniform family; 40
+#: leaves the headroom the measured max-window stats showed at 1M.
+SLAB_SLACK_MAX = 40.0
+
+
+def _hetero_route_knobs(n, nb, r_small, r_mean, ext):
+    """S-S engine + knobs for a heterogeneous scene, from eager stats.
+
+    Returns ("slab", gx) when the predicted z-window slack of the
+    (physically clamped) slab grid fits the dual dispatch, else
+    ("column", gxy, col_capacity, slab_rows, rpw) with the column grid
+    clamped at the 2*r_small cell-width invariant and the rolled
+    rows-per-window rung sized for the predicted window plus Poisson
+    headroom. Pure host arithmetic — no device work."""
+    from .columns import default_column_config
+    from .kernels.sweep import RPW_LADDER
+    from .slabs import default_slab_config
+
+    ext_x, ext_y, ext_z = (max(float(e), 0.0) for e in ext)
+    r_small = max(float(r_small), 1e-30)
+    r_mean = max(float(r_mean), 0.0)
+    reach = 2.0 * r_mean + 2.0 * r_small
+
+    gx_f = default_slab_config(n, r_max=r_small, ext=ext_x)[0]
+    z_lanes = n / max(ext_z, 1e-30)       # sorted lanes per unit z
+    slack_slab = reach * z_lanes / max(gx_f, 1)
+    if slack_slab <= SLAB_SLACK_MAX:
+        return "slab", _quantize_gx(gx_f)
+
+    # Column regime: cells at least 2*r_small wide (the 5-offset
+    # stencil invariant), occupancy-targeted otherwise.
+    gxy_cap = int(min(ext_x, ext_y) / (2.0 * r_small)) if r_small else 64
+    gxy = int(np.clip(round((n / 1500.0) ** 0.5), 1, 64))
+    gxy = max(1, min(gxy, max(gxy_cap, 1)))
+    _, col_cap, slab_rows = default_column_config(n, gxy=gxy)
+    occ = n / float(gxy * gxy)
+    slack_col = reach * occ / max(ext_z, 1e-30)
+    win = 64.0 + slack_col + 6.0 * slack_col ** 0.5 + 16.0
+    need = int(-(-win // 128)) + 1
+    rpw = next((r for r in RPW_LADDER if r >= need), RPW_LADDER[-1])
+    return "column", gxy, col_cap, slab_rows, rpw
 
 
 def _effective_nb(n, nb):
@@ -473,16 +529,18 @@ def _effective_nb(n, nb):
 
 
 def _route_hetero_eager(coords, radii, kernel_mode, nb=None):
-    """(r_small, ext_x) when an eager "auto" call should use the hetero
-    engine, None otherwise — the stats size the slab-pass ``gx``.
+    """(r_small, r_mean_small, ext[3]) when an eager "auto" call should
+    use the hetero engine, None otherwise — the stats size the S-S
+    engine via :func:`_hetero_route_knobs`.
 
     Only consulted with concrete (non-traced) inputs: one tiny jitted
-    probe reads the radius spread + x extent; traced calls (sim loops)
-    keep static routing and rely on the ok/retry contract. The probe
-    costs one fetch — microseconds on real hardware. ``nb`` is the
-    caller's big-set request: the spread is measured at the nb that
-    will actually be parked, so a caller pinning a larger (or smaller)
-    big set gets a slab pass sized for *its* remaining small class."""
+    probe reads the radius spread + scene extents; traced calls (sim
+    loops) keep static routing and rely on the ok/retry contract. The
+    probe costs one fetch — microseconds on real hardware. ``nb`` is
+    the caller's big-set request: the spread is measured at the nb
+    that will actually be parked, so a caller pinning a larger (or
+    smaller) big set gets an S-S pass sized for *its* remaining small
+    class."""
     from .columns import CHUNK
 
     n = coords.shape[0]
@@ -492,10 +550,10 @@ def _route_hetero_eager(coords, radii, kernel_mode, nb=None):
     on_tpu = jax.default_backend() == "tpu" and f32
     if not (on_tpu or (kernel_mode == "interpret" and f32)):
         return None
-    r_max, r_small, ext_x = _hetero_stats(
-        coords, radii, _effective_nb(n, nb))
-    if float(r_max) > HETERO_ROUTE_FACTOR * float(r_small):
-        return float(r_small), float(ext_x)
+    s = np.asarray(_hetero_stats(coords, radii, _effective_nb(n, nb)))
+    r_max, r_small, r_mean = float(s[0]), float(s[1]), float(s[2])
+    if r_max > HETERO_ROUTE_FACTOR * r_small:
+        return r_small, r_mean, s[3:6]
     return None
 
 
@@ -575,18 +633,30 @@ def collide(coords, radii, capacity, stack_depth=STACK_DEPTH, method="auto",
         stats = _route_hetero_eager(coords, radii, kernel_mode, nb=nb)
         if stats is not None:
             method = "hetero"
-            if gx is None and not col_pinned and n >= HETERO_SLAB_MIN:
-                # Size the slab pass for the PARKED small class (the
-                # probe's r_small), not the uniform default's
-                # 1/sqrt(n) guess — mixed-radii scenes need wider
-                # slabs per sphere to keep windows near one row. The
-                # bucket quantization keeps the derived knob cache-
-                # stable across frames of a moving scene.
-                from .slabs import default_slab_config
-
-                r_small, ext_x = stats
-                gx = _quantize_gx(default_slab_config(
-                    n, r_max=r_small, ext=ext_x)[0])
+            if not col_pinned and n >= HETERO_SLAB_MIN and gx is None:
+                # Size the S-S pass for the PARKED small class (the
+                # probe's r_small), not the uniform default's 1/sqrt(n)
+                # guess. The knob derivation also picks the ENGINE: a
+                # wide radius spread makes even the clamped slab grid's
+                # z-windows blow past the dual dispatch's one-row
+                # regime (the 1M power-law scene predicts ~900-lane
+                # windows against a 35-slab physical ceiling — round-5
+                # hetero row measured the old always-slab route
+                # returning ok=False with a garbage-capacity config),
+                # and those scenes run the column engine's rolled
+                # windows at a predicted rows-per-window rung instead.
+                # Quantized/ladder knobs keep the jit cache stable
+                # across frames of a moving scene.
+                r_small, r_mean, ext = stats
+                knobs = _hetero_route_knobs(n, _effective_nb(n, nb),
+                                            r_small, r_mean, ext)
+                if knobs[0] == "slab":
+                    gx = knobs[1]
+                else:
+                    hetero_engine = "column"
+                    gxy, col_capacity, slab_rows, pred_rpw = knobs[1:]
+                    if rpw == DEFAULT_RPW:
+                        rpw = pred_rpw
     return _collide(
         coords, radii, capacity, stack_depth, method, grid_dim,
         cell_capacity, gxy, col_capacity, slab_rows, rpw, cand_capacity,
@@ -966,24 +1036,26 @@ class Collider:
         c32 = jnp.asarray(coords, jnp.float32)
         r32 = jnp.asarray(radii, jnp.float32)
         nb0 = default_nb(self.size)
-        if self.size >= HETERO_SLAB_MIN:
+        stats = np.asarray(_hetero_stats(c32, r32, nb0))
+        route = _hetero_route_knobs(self.size, nb0, float(stats[1]),
+                                    float(stats[2]), stats[3:6])
+        if self.size >= HETERO_SLAB_MIN and route[0] == "slab":
             # Slab S-S pass first (the fast shape): size gx for the
             # parked small class, escalate it when the dual dispatch's
             # residual capacities trip (narrower slabs -> narrower
             # windows), then fall back to the column-stat ladder below.
-            # The component flags gate the ladder: gx only fixes the
-            # plan/residual capacities, so a failure in the
-            # gx-independent side (B-S emitter, int32 wrap, emission
-            # truncation) breaks out immediately instead of burning up
-            # to three fresh compiles (each gx is a new static
-            # signature) that cannot succeed.
+            # The route predictor gates the whole rung: scenes whose
+            # clamped slab grid predicts windows past the dual
+            # dispatch's regime skip straight to the column ladder
+            # instead of burning gx escalations that cannot succeed.
+            # The component flags gate the escalation the same way: gx
+            # only fixes the plan/residual capacities, so a failure in
+            # the gx-independent side (B-S emitter, int32 wrap,
+            # emission truncation) breaks out immediately.
             from .hetero import hetero_collide
-            from .slabs import default_slab_config
 
             on_tpu = jax.default_backend() == "tpu"
-            _, r_small, ext_x = _hetero_stats(c32, r32, nb0)
-            gx = _quantize_gx(default_slab_config(
-                self.size, r_max=float(r_small), ext=float(ext_x))[0])
+            gx = route[1]
             lo_s, hi_s = scene_bounds(c32)
             for _ in range(3):
                 pairs, total, ok, (gx_ok, other_ok) = hetero_collide(
@@ -1007,7 +1079,13 @@ class Collider:
             tried.add(nb)
             _, bidx = jax.lax.top_k(r32, nb)
             parked = r32.at[bidx.astype(jnp.int32)].set(-jnp.inf)
-            gxy, col_cap, slab_rows = default_column_config(self.size)
+            if nb == nb0 and route[0] == "column":
+                # Seed from the eager route's derived grid (cells
+                # clamped at 2*r_small) — the plan loop below then only
+                # refines capacities instead of rediscovering the grid.
+                gxy, col_cap, slab_rows = route[1:4]
+            else:
+                gxy, col_cap, slab_rows = default_column_config(self.size)
             ext_xy = float(jnp.max(
                 jnp.max(c32, axis=0)[:2] - jnp.min(c32, axis=0)[:2]))
             r_small = float(jnp.max(parked))

@@ -51,9 +51,27 @@ def default_nb(n):
 
 
 def _bigs_table(coords, radii, bidx, nb):
-    """f32[nb/64, 64, 8] big-sphere test rows; dead rows all +inf."""
+    """(rows f32[nb/64, 64, 8], zlo f32[nb/64], zhi f32[nb/64]).
+
+    Big-sphere test rows (dead rows all +inf) plus each chunk's z
+    extent (min zlo / max zhi over live members) — the input to the
+    big-pass kernels' z-window gating (kernels/bigpass.py).
+
+    Chunk 0 holds the 64 LARGEST radii in top-k order (the "giant"
+    chunk, always tested — its z reach would poison any monotone
+    envelope); the remaining bigs are sorted by z so later chunks have
+    tight, nearly-monotone z ranges and the stream (z-sorted within
+    each slab/column) intersects only a contiguous few per row."""
     c = jnp.take(coords, bidx, axis=0)
     r = jnp.take(radii, bidx)
+    if nb > CHUNK:
+        z_rest = c[CHUNK:, 2]
+        perm = jnp.concatenate([
+            jnp.arange(CHUNK, dtype=jnp.int32),
+            CHUNK + jnp.argsort(z_rest).astype(jnp.int32)])
+        c = jnp.take(c, perm, axis=0)
+        r = jnp.take(r, perm)
+        bidx = jnp.take(bidx, perm)
     idf = jax.lax.bitcast_convert_type(bidx.astype(jnp.uint32), jnp.float32)
     live = r >= 0
     inf = jnp.float32(jnp.inf)
@@ -62,7 +80,12 @@ def _bigs_table(coords, radii, bidx, nb):
             jnp.full((nb,), inf)]
     rows = jnp.stack([jnp.where(live, v, inf) if i != 6 else v
                       for i, v in enumerate(cols)], axis=1)  # [nb, 8]
-    return rows.reshape(nb // CHUNK, CHUNK, 8)
+    nbc = nb // CHUNK
+    zlo = jnp.min(jnp.where(live, c[:, 2] - r, inf)
+                  .reshape(nbc, CHUNK), axis=1)
+    zhi = jnp.max(jnp.where(live, c[:, 2] + r, -inf)
+                  .reshape(nbc, CHUNK), axis=1)
+    return rows.reshape(nbc, CHUNK, 8), zlo, zhi
 
 
 @partial(jax.jit, static_argnames=(

@@ -7,11 +7,23 @@ traversal is radius-agnostic, collision.cl:174-226). The hetero engine
 (hetero.py) removes the coupling by two-level radius bucketing: the few
 largest spheres are *parked* out of the column pass (radius -1 -> empty
 AABB) and handled here instead — every (big, other) pair is found by
-brute-force testing the big set, VMEM-resident, against the full sorted
-stream as it flows through in blocks. With nb <= 2048 bigs this is
-~nb/64 x stream-rows dense [64, 128] tile tests — pure VPU work with no
-windows, no gathers, and the same streaming PairEmitter as the main fill
-(kernels/stream_emit.py).
+testing the big set, VMEM-resident, against the full sorted stream as it
+flows through in blocks, with the same streaming PairEmitter as the main
+fill.
+
+Z-window gating (round 5): the dense all-chunks-vs-all-rows pass
+measured 9.15 ms at nb=1024 x 1M — 16 tile tests per stream row, most
+provably empty. The bigs table (hetero._bigs_table) now isolates the 64
+largest radii in chunk 0 (always tested — giants reach everywhere) and
+z-sorts the rest, so each stream row (z-sorted within its slab/column)
+intersects only a contiguous run of big chunks. Two monotone envelopes
+over the z-sorted chunks — prefix-max of chunk zhi and suffix-min of
+chunk zlo — turn that run into two vector-compare + count reductions
+per row, and the chunk loop becomes ``fori(c_lo, c_end)``: typically
+1-2 windowed tiles + 1 giant tile instead of nbc. The envelopes are a
+conservative superset (the tile test stays exact), so gating never
+changes results — the same conservative-window-plus-exact-test shape as
+the slab plan (slabs.py).
 
 Dedup: the b side is the *parked* stream, so big-big pairs can never
 appear here (their stream AABBs are empty) — they are enumerated
@@ -37,9 +49,41 @@ from .stream_emit import (
 _RB = 256
 
 
-def _make_big_kernel(nbc, rb, capacity, direct):
-    def kernel(bigs_ref, stream_ref, out_a, out_b, total_ref, totf_ref,
-               *scratch):
+def _envelopes(zlo, zhi, nbc):
+    """(env f32[2, L], n_always, L): monotone z-window envelopes.
+
+    Chunk 0 (giants) is excluded from the envelopes and always tested;
+    ``env[0]`` = prefix-max of the remaining chunks' zhi (monotone
+    increasing, so {c : env0[c] > zlo_row} is a suffix) and ``env[1]``
+    = suffix-min of their zlo (monotone increasing, so {c : env1[c] <
+    zhi_row} is a prefix). Pads hold +inf, contributing to neither
+    count."""
+    n_always = 1 if nbc > 1 else nbc
+    nw = nbc - n_always
+    L = max(128, -(-nw // 128) * 128)
+    env = jnp.full((2, L), jnp.inf, jnp.float32)
+    if nw:
+        hi_env = jax.lax.cummax(zhi[n_always:])
+        lo_env = jax.lax.cummin(zlo[n_always:][::-1])[::-1]
+        env = env.at[0, :nw].set(hi_env).at[1, :nw].set(lo_env)
+    return env, n_always, L
+
+
+def _row_range(env_ref, b8, n_always):
+    """(c0, c1): absolute big-chunk range intersecting this stream row's
+    z extent — two vector compares + count reductions against the
+    monotone envelopes. Conservative superset; c1 >= c0."""
+    zlo_row = jnp.min(b8[2:3, :])
+    zhi_row = jnp.max(b8[5:6, :])
+    c_lo = jnp.sum((env_ref[0:1, :] <= zlo_row).astype(jnp.int32))
+    c_end = jnp.sum((env_ref[1:2, :] < zhi_row).astype(jnp.int32))
+    c0 = n_always + c_lo
+    return c0, jnp.maximum(n_always + c_end, c0)
+
+
+def _make_big_kernel(nbc, rb, capacity, direct, n_always):
+    def kernel(bigs_ref, env_ref, stream_ref, out_a, out_b, total_ref,
+               totf_ref, *scratch):
         if direct:
             cur, curf = scratch
             stag_a = stag_b = fsem = None
@@ -74,29 +118,23 @@ def _make_big_kernel(nbc, rb, capacity, direct):
         # ~51 ms of the 72 ms hetero fill — exp_r4_hetero.py.)
         def r_body(r, acc):
             b8 = stream_ref[0, r]                      # [8, 128]
-            if nbc <= 32:
-                for c in range(nbc):
-                    acc = acc + tile_mask(bigs_ref[c], b8).astype(
-                        jnp.int32)
-            else:
-                # Static unrolling keeps nbc mask temporaries live on
-                # the Mosaic stack; big sets loop dynamically.
-                def c_body(c, a):
-                    return a + tile_mask(bigs_ref[c], b8).astype(
-                        jnp.int32)
-                acc = jax.lax.fori_loop(0, nbc, c_body, acc)
+            c0, c1 = _row_range(env_ref, b8, n_always)
+            for c in range(n_always):
+                acc = acc + tile_mask(bigs_ref[c], b8).astype(jnp.int32)
+
+            def c_body(c, a):
+                return a + tile_mask(bigs_ref[c], b8).astype(jnp.int32)
+            acc = jax.lax.fori_loop(c0, c1, c_body, acc)
 
             @pl.when(emitter.remaining() > 0)
             def _maybe_extract():
                 m_or = tile_mask(bigs_ref[0], b8)
-                if nbc <= 32:
-                    for c in range(1, nbc):
-                        m_or |= tile_mask(bigs_ref[c], b8)
-                else:
-                    m_or = jax.lax.fori_loop(
-                        1, nbc,
-                        lambda c, m: m | tile_mask(bigs_ref[c], b8),
-                        m_or)
+                for c in range(1, n_always):
+                    m_or |= tile_mask(bigs_ref[c], b8)
+                m_or = jax.lax.fori_loop(
+                    c0, c1,
+                    lambda c, m: m | tile_mask(bigs_ref[c], b8),
+                    m_or)
                 row_cnt = jnp.sum(m_or, dtype=jnp.int32)
 
                 @pl.when(row_cnt > 0)
@@ -119,11 +157,9 @@ def _make_big_kernel(nbc, rb, capacity, direct):
                                          b_ids, lane_i, sub_c)
                         return carry
 
-                    if nbc <= 32:
-                        for c in range(nbc):
-                            chunk_extract(c, 0)
-                    else:
-                        jax.lax.fori_loop(0, nbc, chunk_extract, 0)
+                    for c in range(n_always):
+                        chunk_extract(c, 0)
+                    jax.lax.fori_loop(c0, c1, chunk_extract, 0)
             return acc
 
         acc = jax.lax.fori_loop(
@@ -142,12 +178,15 @@ def _make_big_kernel(nbc, rb, capacity, direct):
 
 
 @partial(jax.jit, static_argnames=("capacity", "interpret"))
-def big_pairs(bigs_t, stream, capacity, interpret=False):
+def big_pairs(bigs, stream, capacity, interpret=False):
     """Pairs between the big set and the stream's live spheres.
 
     Args:
-      bigs_t: f32[nbc, 64, 8] big-sphere rows (xlo ylo zlo xhi yhi zhi
-        id-bits pad), dead rows all +inf.
+      bigs: (rows f32[nbc, 64, 8], zlo f32[nbc], zhi f32[nbc]) from
+        hetero._bigs_table — big-sphere test rows (xlo ylo zlo xhi yhi
+        zhi id-bits pad; dead rows all +inf) with per-chunk z extents
+        for the window gating. Chunk 0 = giants (always tested), the
+        rest z-sorted.
       stream: f32[Rp, 8, 128] the column plan's sorted stream (parked
         scene: big slots carry empty AABBs).
       capacity: static pair capacity (> 0; padded internally).
@@ -155,7 +194,9 @@ def big_pairs(bigs_t, stream, capacity, interpret=False):
     Returns (ida[capacity], idb[capacity], total u32, no_overflow bool);
     ida is always the big sphere's original id.
     """
+    bigs_t, bzlo, bzhi = bigs
     nbc = bigs_t.shape[0]
+    env, n_always, _ = _envelopes(bzlo, bzhi, nbc)
     cap_pad = max(-(-int(capacity) // (2 * _FLUSH)) * (2 * _FLUSH),
                   2 * _FLUSH)
     cap_rows = cap_pad // LANE
@@ -166,7 +207,7 @@ def big_pairs(bigs_t, stream, capacity, interpret=False):
         stream = jnp.concatenate([stream, pad], axis=0)
 
     direct = bool(interpret)
-    kernel = _make_big_kernel(nbc, _RB, cap_pad, direct)
+    kernel = _make_big_kernel(nbc, _RB, cap_pad, direct, n_always)
     out_space = pltpu.VMEM if direct else pltpu.ANY
     scratch = [pltpu.SMEM((3,), jnp.int32), pltpu.SMEM((1,), jnp.float32)]
     if not direct:
@@ -181,6 +222,7 @@ def big_pairs(bigs_t, stream, capacity, interpret=False):
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),             # bigs
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # envelopes
             pl.BlockSpec((1, _RB, 8, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),             # stream
         ],
@@ -198,7 +240,7 @@ def big_pairs(bigs_t, stream, capacity, interpret=False):
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(bigs_t, stream.reshape(1, nblk * _RB, 8, LANE))
+    )(bigs_t, env, stream.reshape(1, nblk * _RB, 8, LANE))
 
     out_a = jax.lax.bitcast_convert_type(out_a, jnp.uint32)
     out_b = jax.lax.bitcast_convert_type(out_b, jnp.uint32)
@@ -211,8 +253,9 @@ def big_pairs(bigs_t, stream, capacity, interpret=False):
     return ida, idb, total_u, no_ovf
 
 
-def _make_big_count_kernel(nbc, rb, unroll):
-    def kernel(bigs_ref, stream_ref, total_ref, totf_ref, cur, curf):
+def _make_big_count_kernel(nbc, rb, unroll, n_always):
+    def kernel(bigs_ref, env_ref, stream_ref, total_ref, totf_ref, cur,
+               curf):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -229,18 +272,14 @@ def _make_big_count_kernel(nbc, rb, unroll):
         def r_body(g, acc):
             for u in range(unroll):
                 b8 = stream_ref[0, g * unroll + u]
-                if nbc <= 32:
-                    for c in range(nbc):
-                        acc += tile_mask(bigs_ref[c], b8).astype(
-                            jnp.int32)
-                else:
-                    # Static unrolling keeps nbc mask temporaries live on
-                    # the Mosaic stack (measured 16.7M scoped VMEM at
-                    # nbc=128, 16M limit); big sets loop dynamically.
-                    def c_body(c, a):
-                        return a + tile_mask(bigs_ref[c], b8).astype(
-                            jnp.int32)
-                    acc = jax.lax.fori_loop(0, nbc, c_body, acc)
+                c0, c1 = _row_range(env_ref, b8, n_always)
+                for c in range(n_always):
+                    acc += tile_mask(bigs_ref[c], b8).astype(jnp.int32)
+
+                def c_body(c, a):
+                    return a + tile_mask(bigs_ref[c], b8).astype(
+                        jnp.int32)
+                acc = jax.lax.fori_loop(c0, c1, c_body, acc)
             return acc
 
         acc = jax.lax.fori_loop(
@@ -263,30 +302,35 @@ def _make_big_count_kernel(nbc, rb, unroll):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def big_count_only(bigs_t, stream, interpret=False):
+def big_count_only(bigs, stream, interpret=False):
     """Count-only variant: (total u32, no_overflow).
 
-    A dedicated dense kernel with a vector accumulator — no extraction
-    loop and no per-tile scalar reduction (the per-tile sync measured
-    ~84 ms at nb=2048 x 1M on v5e; unguarded register accumulation is
-    the count-sweep lesson, design.md "Count sweep below 15 ms")."""
+    A dedicated kernel with a vector accumulator — no extraction loop
+    and no per-tile scalar reduction (the per-tile sync measured ~84 ms
+    at nb=2048 x 1M on v5e; unguarded register accumulation is the
+    count-sweep lesson, design.md "Count sweep below 15 ms"). The
+    z-window gating replaces the dense all-chunks loop (see module
+    docstring); ``bigs`` is hetero._bigs_table's (rows, zlo, zhi)."""
+    bigs_t, bzlo, bzhi = bigs
     nbc = bigs_t.shape[0]
+    env, n_always, _ = _envelopes(bzlo, bzhi, nbc)
     rp = stream.shape[0]
     nblk = -(-rp // _RB)
     if nblk * _RB != rp:
         pad = jnp.full((nblk * _RB - rp, 8, LANE), jnp.inf, jnp.float32)
         stream = jnp.concatenate([stream, pad], axis=0)
 
-    # Unroll scales inversely with the big-chunk count: unroll x nbc
-    # [64, 128] mask temporaries live on the Mosaic stack, and nbc=128
-    # at unroll 4 measured a 17.6M scoped-VMEM overflow (16M limit).
-    unroll = 4 if nbc <= 32 else (2 if nbc <= 64 else 1)
-    kernel = _make_big_count_kernel(nbc, _RB, unroll)
+    # Gating leaves ~n_always static + 1 dynamic mask temporaries per
+    # row on the Mosaic stack regardless of nbc, so the stream-read
+    # unroll no longer scales inversely with the big-chunk count.
+    unroll = 4
+    kernel = _make_big_count_kernel(nbc, _RB, unroll, n_always)
     total, totf = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),             # bigs
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # envelopes
             pl.BlockSpec((1, _RB, 8, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),             # stream
         ],
@@ -301,6 +345,6 @@ def big_count_only(bigs_t, stream, interpret=False):
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.float32)],
         interpret=interpret,
-    )(bigs_t, stream.reshape(1, nblk * _RB, 8, LANE))
+    )(bigs_t, env, stream.reshape(1, nblk * _RB, 8, LANE))
     no_ovf = totf[0] < float(2 ** 31 - 2 ** 26)
     return total[0].astype(jnp.uint32), no_ovf

@@ -86,6 +86,16 @@ def default_slab_config(n, r_max=None, ext=None, target_slack=24, gx=None):
     if gx is None:
         if r_max is not None and ext is not None and ext > 0:
             gx = 3.0 * float(r_max) * n / (float(ext) * target_slack)
+            # Physical ceiling: the plan clamps slab width at 2*r_max
+            # (the adjacency invariant), so slabs past ext/(2*r_max)
+            # are EMPTY — a formula gx above it buys nothing and, fed
+            # to col_capacity below, sizes capacities for an occupancy
+            # the clamped grid cannot deliver (measured: the 1M
+            # power-law eager route derived gx=2118 against an
+            # effective 35-slab grid — ok=False with a garbage count
+            # on the first public call, round-5 hetero row).
+            if r_max > 0:
+                gx = min(gx, float(ext) / (2.0 * float(r_max)))
         else:
             gx = 3.0 * (n ** 0.5) / target_slack
     # The cap bounds the kernel grid, not correctness. 512 sufficed for
@@ -229,27 +239,52 @@ def residual_pairs(plan: SlabPlan, j_cap=RESIDUAL_JOBS,
     sweep at a static ONE row per window (wcap clamped to 128) with no
     rows-per-window knob. Dead slots hold 0xFFFFFFFF; ``ok`` is False
     when the job list, the one-residual-row bound, or ``p_cap``
-    overflowed (the result is then a correct prefix)."""
+    overflowed (the result is then a correct prefix).
+
+    Extraction is two-level sparse: hits are rare by construction (the
+    plan targets ~88-lane windows), so the [J, 256, 256] mask is first
+    reduced to per-a-row hit counts and only the (ascending) hit rows —
+    at most ``p_cap``, since every hit row holds >= 1 pair — are
+    gathered into a small [p_cap, 256] mask for the streaming
+    compactor. Feeding the full 16.7M-element mask to compact_mask
+    measured ~3.9 ms of pure subtile-scan overhead at 1M (round-5
+    fillsplit row); the rowsum + small compact is ~0.4 ms. The kept
+    prefix stays exact: rows are kept in ascending order, so any
+    dropped row (only possible past p_cap pairs, where ok=False
+    already) is strictly after every kept one."""
     from .kernels.compact import compact_mask
+    from .ops.scan import inclusive_scan
 
     NO_PAIR = jnp.uint32(0xFFFFFFFF)
     m, a_idf, b_idf, ok = _residual_mask(plan, j_cap, dmin)
-    count = jnp.sum(m, dtype=jnp.int32)
+    L2 = 2 * LANE
+    mr = m.reshape(-1, L2)                         # [J*256, 256]
+    Rm = mr.shape[0]
+    rowcnt = jnp.sum(mr, axis=1, dtype=jnp.int32)  # [J*256]
+    count = jnp.sum(rowcnt, dtype=jnp.int32)
     ok = ok & (count <= p_cap)
-    idx, _ = compact_mask(m.reshape(-1), max(p_cap, 8),
+
+    R_cap = min(p_cap, Rm)
+    ic = inclusive_scan((rowcnt > 0).astype(jnp.int32))
+    nrows = ic[-1]
+    ordr = jnp.arange(R_cap, dtype=jnp.int32)
+    rowsel = jnp.minimum(
+        sorted_bucket_starts(ic, ordr + 1, strides=(64,)), Rm - 1)
+    live_r = ordr < nrows
+    small = jnp.where(live_r[:, None],
+                      jnp.take(mr, rowsel, axis=0), False)
+
+    idx, _ = compact_mask(small.reshape(-1), max(p_cap, 8),
                           interpret=interpret)
     idx = idx[:p_cap]
     live = idx != NO_PAIR
-    fl = jnp.minimum(idx, jnp.uint32(m.size - 1)).astype(jnp.int32)
-    L2 = 2 * LANE
-    j = fl // (L2 * L2)
-    rem = fl % (L2 * L2)
-    ai = rem // L2
-    bi = rem % L2
+    fl = jnp.minimum(idx, jnp.uint32(R_cap * L2 - 1)).astype(jnp.int32)
+    fr = jnp.take(rowsel, fl // L2)                # global (job, a) row
+    bi = fl % L2
     ida = jax.lax.bitcast_convert_type(
-        jnp.take(a_idf.reshape(-1), j * L2 + ai), jnp.uint32)
+        jnp.take(a_idf.reshape(-1), fr), jnp.uint32)
     idb = jax.lax.bitcast_convert_type(
-        jnp.take(b_idf.reshape(-1), j * L2 + bi), jnp.uint32)
+        jnp.take(b_idf.reshape(-1), (fr // L2) * L2 + bi), jnp.uint32)
     ida = jnp.where(live, ida, NO_PAIR)
     idb = jnp.where(live, idb, NO_PAIR)
     return ida, idb, count, ok
