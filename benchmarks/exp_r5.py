@@ -66,25 +66,25 @@ def powerlaw_scene(n=1_000_000, seed=4):
 
 
 def hetero_public():
-    """Public-API hetero step (slab S-S): the round-4 wiring, measured."""
+    """Public-API hetero step at the ROUTED configuration, measured."""
     from collision_tpu import collide
-    from collision_tpu.collider import _hetero_stats, _quantize_gx
+    from collision_tpu.collider import (
+        _hetero_route_knobs, _hetero_stats)
     from collision_tpu.hetero import default_nb, hetero_collide
-    from collision_tpu.slabs import default_slab_config
 
     n = 1_000_000
     capacity = 16384
     coords, radii = powerlaw_scene(n)
     print("backend:", jax.devices()[0].platform, flush=True)
 
-    # The gx the eager auto route derives (quantized).
+    # The knobs the eager auto route derives.
     nb = default_nb(n)
-    r_max, r_small, ext_x = _hetero_stats(coords, radii, nb)
-    gx = _quantize_gx(default_slab_config(
-        n, r_max=float(r_small), ext=float(ext_x))[0])
-    out = {"name": "r5-hetero-slab-1M", "nb": nb, "gx": gx,
-           "r_max": round(float(r_max), 5),
-           "r_small": round(float(r_small), 5)}
+    s = np.asarray(_hetero_stats(coords, radii, nb))
+    knobs = _hetero_route_knobs(n, nb, float(s[1]), float(s[2]), s[4:7])
+    out = {"name": "r5-hetero-routed-1M", "nb": nb,
+           "r_max": round(float(s[0]), 5),
+           "r_small": round(float(s[1]), 5), "knobs": list(knobs)}
+    print("knobs:", knobs, flush=True)
 
     # Exactness checks through the public API first (eager).
     res_c = collide(coords, radii, 0)
@@ -93,10 +93,18 @@ def hetero_public():
     res_f = collide(coords, radii, capacity)
     out["fill_ok"] = bool(res_f.ok)
     assert int(res_f.count) == int(res_c.count)
+    print("eager: count", out["count"], "count_ok", out["count_ok"],
+          "fill_ok", out["fill_ok"], flush=True)
+
+    if knobs[0] == "slab":
+        kw = dict(nb=nb, engine="slab", gx=knobs[1])
+    else:
+        gxy, col_cap, slab_rows, rpw = knobs[1:]
+        kw = dict(nb=nb, engine="column", gxy=gxy, col_capacity=col_cap,
+                  slab_rows=slab_rows, rpw=rpw)
 
     def h_count(c):
-        _, tot, ok = hetero_collide(c, radii, 0, nb=nb,
-                                    engine="slab", gx=gx)
+        _, tot, ok = hetero_collide(c, radii, 0, **kw)
         return (tot % 2).astype(jnp.float32) \
             + ok.astype(jnp.float32) * jnp.float32(1e-3)
 
@@ -105,8 +113,7 @@ def hetero_public():
     print("count_ms", out["count_ms"], flush=True)
 
     def h_fill(c):
-        pairs, tot, ok = hetero_collide(c, radii, capacity, nb=nb,
-                                        engine="slab", gx=gx)
+        pairs, tot, ok = hetero_collide(c, radii, capacity, **kw)
         return (tot % 2).astype(jnp.float32) \
             + (pairs[0, 0] % 2).astype(jnp.float32) * jnp.float32(1e-3)
 

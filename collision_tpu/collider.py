@@ -82,13 +82,11 @@ COLUMN_AUTO_THRESHOLD = GRID_AUTO_THRESHOLD
 
 #: Radius-spread factor above which eager "auto" routes to the
 #: two-level hetero engine: the scene is heterogeneous when parking the
-#: ``default_nb(n)`` largest spheres shrinks the interaction radius
-#: (small-class r_max) by more than this factor — below it the plain
-#: engines' windows only widen ~4x, which the rpw ladder absorbs;
-#: above it a single giant radius collapses the slab/column resolution
-#: entirely (hetero.py). The hetero step costs ~2.3x the uniform count
-#: (measured, BASELINE.md), so routing is deliberately conservative.
-HETERO_ROUTE_FACTOR = 4.0
+#: ``default_nb(n)`` largest spheres shrinks the predicted test reach
+#: (see HETERO_GAIN_MIN / _route_hetero_eager — the routing decision
+#: itself lives there, keyed on predicted window slack, not on this
+#: legacy spread ratio, which missed the 3.46x-spread reference scene).
+HETERO_ROUTE_FACTOR = 4.0  # retained for external callers
 
 #: Largest rows-per-window rung the retry chain escalates to before
 #: preferring a finer grid (gxy x2). Matches the kernels' fully-unrolled
@@ -441,30 +439,24 @@ def _quantize_gx(gx):
 
 
 @partial(jax.jit, static_argnames=("nb",))
-def _radius_spread(radii, nb):
-    """(r_max, r_small): the scene's max radius and the small-class max
-    after parking the ``nb`` largest — the hetero-routing statistic."""
-    top = jax.lax.top_k(jnp.asarray(radii, jnp.float32), nb + 1)[0]
-    return top[0], top[nb]
-
-
-@partial(jax.jit, static_argnames=("nb",))
 def _hetero_stats(coords, radii, nb):
-    """f32[6] = (r_max, r_small, r_mean_small, ext_x, ext_y, ext_z):
-    the radius spread after parking the ``nb`` largest, the remaining
-    small class's mean radius, and the scene extents — everything the
-    eager hetero route needs to size an S-S engine, packed into ONE
-    array so the eager caller pays a single device fetch (each fetch
-    is a full tunnel round-trip here)."""
+    """f32[7] = (r_max, r_small, r_mean_small, r_mean_all, ext_x,
+    ext_y, ext_z): the radius spread after parking the ``nb`` largest,
+    the small-class and whole-scene mean radii, and the scene extents —
+    everything the eager hetero route needs to size an S-S engine,
+    packed into ONE array so the eager caller pays a single device
+    fetch (each fetch is a full tunnel round-trip here)."""
     r = jnp.asarray(radii, jnp.float32)
     n = r.shape[0]
     top = jax.lax.top_k(r, nb + 1)[0]
     c = jnp.asarray(coords, jnp.float32)
     ext = jnp.max(c, axis=0) - jnp.min(c, axis=0)
-    mean_small = (jnp.sum(r, dtype=jnp.float32) - jnp.sum(
-        top[:nb], dtype=jnp.float32)) / jnp.float32(max(n - nb, 1))
+    rsum = jnp.sum(r, dtype=jnp.float32)
+    mean_small = (rsum - jnp.sum(top[:nb], dtype=jnp.float32)) \
+        / jnp.float32(max(n - nb, 1))
+    mean_all = rsum / jnp.float32(n)
     return jnp.concatenate(
-        [jnp.stack([top[0], top[nb], mean_small]), ext])
+        [jnp.stack([top[0], top[nb], mean_small, mean_all]), ext])
 
 
 #: Predicted mean z-window slack (lanes past the 64-lane chunk span)
@@ -474,6 +466,30 @@ def _hetero_stats(coords, radii, nb):
 #: default_slab_config targets slack 24 on the uniform family; 40
 #: leaves the headroom the measured max-window stats showed at 1M.
 SLAB_SLACK_MAX = 40.0
+
+
+#: Minimum factor by which parking the default big set must shrink the
+#: predicted test reach (2*r_mean + 2*r_max, the z-window height per
+#: candidate) for the eager route to pay the hetero engine's premium.
+#: The old rule — a bare r_max > 4*r_small spread test — never fired on
+#: the 1M power-law reference scene (spread 3.46x), leaving it on the
+#: uniform slab path whose ok=False result is garbage-by-contract
+#: (round-5 measurement: public count 2289 vs 263959 true).
+HETERO_GAIN_MIN = 2.0
+
+
+def _predicted_slab_slack(n, r_max, r_mean, ext):
+    """Mean z-window slack (lanes) of the dual-dispatch slab engine on
+    an n-sphere scene with the given radius stats — the engine fits
+    when this stays under SLAB_SLACK_MAX."""
+    from .slabs import default_slab_config
+
+    ext_x, _, ext_z = (max(float(e), 0.0) for e in ext)
+    gx_f = default_slab_config(
+        n, r_max=max(float(r_max), 1e-30), ext=ext_x)[0]
+    z_lanes = n / max(ext_z, 1e-30)
+    return (2.0 * float(r_mean) + 2.0 * float(r_max)) * z_lanes \
+        / max(gx_f, 1)
 
 
 def _hetero_route_knobs(n, nb, r_small, r_mean, ext):
@@ -551,10 +567,20 @@ def _route_hetero_eager(coords, radii, kernel_mode, nb=None):
     if not (on_tpu or (kernel_mode == "interpret" and f32)):
         return None
     s = np.asarray(_hetero_stats(coords, radii, _effective_nb(n, nb)))
-    r_max, r_small, r_mean = float(s[0]), float(s[1]), float(s[2])
-    if r_max > HETERO_ROUTE_FACTOR * r_small:
-        return r_small, r_mean, s[3:6]
-    return None
+    r_max, r_small, r_mean_s, r_mean_all = (float(v) for v in s[:4])
+    ext = s[4:7]
+    # Hetero pays when (a) the uniform engine's predicted windows blow
+    # past the dual dispatch AND (b) parking the big set shrinks the
+    # per-candidate test reach enough to matter. A bare spread-ratio
+    # test (the old r_max > 4*r_small) missed the 1M power-law
+    # reference scene (spread 3.46x) entirely, leaving the public call
+    # on the uniform slab path's ok=False garbage.
+    if _predicted_slab_slack(n, r_max, r_mean_all, ext) <= SLAB_SLACK_MAX:
+        return None
+    gain = (r_mean_all + r_max) / max(r_mean_s + r_small, 1e-30)
+    if gain < HETERO_GAIN_MIN:
+        return None
+    return r_small, r_mean_s, ext
 
 
 def default_cand_capacity(n, capacity):
@@ -936,9 +962,18 @@ class Collider:
             if self.size > 64:
                 from .hetero import default_nb
 
-                r_max, r_small = _radius_spread(
-                    jnp.asarray(radii, jnp.float32), default_nb(self.size))
-                if float(r_max) > HETERO_ROUTE_FACTOR * float(r_small):
+                s = np.asarray(_hetero_stats(
+                    jnp.asarray(coords, jnp.float32),
+                    jnp.asarray(radii, jnp.float32),
+                    default_nb(self.size)))
+                r_max, r_small, r_mean_s, r_mean_all = (
+                    float(v) for v in s[:4])
+                gain = (r_mean_all + r_max) \
+                    / max(r_mean_s + r_small, 1e-30)
+                if (gain >= HETERO_GAIN_MIN
+                        and _predicted_slab_slack(
+                            self.size, r_max, r_mean_all, s[4:7])
+                        > SLAB_SLACK_MAX):
                     res = self._hetero_exact(coords, radii, capacity)
                     if res is not None:
                         return res
@@ -1038,7 +1073,7 @@ class Collider:
         nb0 = default_nb(self.size)
         stats = np.asarray(_hetero_stats(c32, r32, nb0))
         route = _hetero_route_knobs(self.size, nb0, float(stats[1]),
-                                    float(stats[2]), stats[3:6])
+                                    float(stats[2]), stats[4:7])
         if self.size >= HETERO_SLAB_MIN and route[0] == "slab":
             # Slab S-S pass first (the fast shape): size gx for the
             # parked small class, escalate it when the dual dispatch's

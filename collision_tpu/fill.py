@@ -818,7 +818,7 @@ def _slab_mask_fill_impl(coords, radii, capacity, gx, col_capacity,
 
 def slab_fill_from_plan(plan, capacity, rpw=1, interpret=False, kcap=None,
                         emit_blk=None, emit_mode=None, dual=False,
-                        split_ok=False):
+                        split_ok=False, dual_base=1):
     """(ida, idb, total, ok) from a prebuilt :class:`~collision_tpu.slabs
     .SlabPlan` — the engine core of :func:`slab_mask_fill`, shared with
     the hetero engine's S-S pass (hetero.py builds the plan over the
@@ -835,8 +835,13 @@ def slab_fill_from_plan(plan, capacity, rpw=1, interpret=False, kcap=None,
     from .slabs import residual_pairs
 
     if dual:
-        rpw = 1
-        sweep_plan = plan._replace(wcap=jnp.minimum(plan.wcap, LANE))
+        # ``dual_base`` rows in-sweep, residual segments for the rest
+        # (1 for the uniform flagship; the hetero slab path runs 2 —
+        # its parked plans have fat (128,256] window tails that blow
+        # the residual job list at base=1, see slab_count_dual).
+        rpw = dual_base
+        sweep_plan = plan._replace(
+            wcap=jnp.minimum(plan.wcap, dual_base * LANE))
     else:
         sweep_plan = plan
     B = slab_sweep_masks(sweep_plan, rpw=rpw, interpret=interpret)
@@ -847,8 +852,8 @@ def slab_fill_from_plan(plan, capacity, rpw=1, interpret=False, kcap=None,
     mask_total = jnp.sum(rp, dtype=jnp.int32)
     no_wrap = jnp.sum(rp.astype(jnp.float32)) < float(2 ** 31 - 2 ** 26)
     if dual:
-        rida, ridb, rcount, r_ok = residual_pairs(plan,
-                                                  interpret=interpret)
+        rida, ridb, rcount, r_ok = residual_pairs(
+            plan, interpret=interpret, base=dual_base)
         total = mask_total + rcount
         gx_ok = plan.ok & r_ok
         ok = gx_ok & no_wrap

@@ -122,7 +122,7 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
     from .fill import _pick_emit
     from .kernels.bigpass import big_pairs
     from .kernels.compact import compact_mask
-    from .kernels.sweep import sweep_count_guarded, sweep_masks
+    from .kernels.sweep import sweep_masks
 
     coords = jnp.asarray(coords, jnp.float32)
     radii = jnp.asarray(radii, jnp.float32)
@@ -163,17 +163,29 @@ def hetero_collide(coords, radii, capacity, nb=None, gxy=None,
 
     mbb, tot_bb = _bb_mask(coords, radii, bidx, nb)
 
-    sok = plan.ok & (plan.rows_rolled <= rpw)
-
     if capacity == 0:
         from .kernels.bigpass import big_count_only
+        from .kernels.sweep import sweep_count_dual
 
-        cnt_s, ovf_s = sweep_count_guarded(
-            plan, rpw=rpw, interpret=interpret, rolled=True)
+        # Dual-dispatch S-S count: the rolled sweep runs one row SHORT
+        # of the predicted rows-per-window rung and the clipped
+        # remainders are counted by the vectorized residual path (one
+        # job per 128-lane segment, exact at any width). The parked
+        # power-law reference scene predicts rpw=3 from its MAX window
+        # while the MEAN is ~110 lanes: base=2 covers every <=256-lane
+        # window in-sweep with ZERO residual jobs left (measured
+        # 15.4 -> 12.2 ms S-S at 1M; base=1 pays ~5k jobs for the fat
+        # (128,256] tail and lands at 13.1). A retry that escalates
+        # ``rpw`` therefore also widens the count's in-sweep coverage.
+        base = max(1, min(int(rpw) - 1, 4)) if rpw > 1 else 1
+        cnt_s, ok_s = sweep_count_dual(plan, interpret=interpret,
+                                       base=base)
         tot_bs, ovf_bs = big_count_only(
             bigs_t, plan.stream, interpret=interpret)
         total = cnt_s.astype(jnp.uint32) + tot_bs + tot_bb
-        return None, total, sok & ovf_s & ovf_bs
+        return None, total, ok_s & ovf_bs
+
+    sok = plan.ok & (plan.rows_needed <= rpw)
 
     # --- fills ---
     # S-S through the sparse mask emission (round-3 fast fill path; the
@@ -291,9 +303,15 @@ def _hetero_slab(coords, radii, parked, bigs_t, bidx, nb, capacity, gx,
     plan = plan_slabs(coords, parked, gx, col_capacity, slab_rows)
     mbb, tot_bb = _bb_mask(coords, radii, bidx, nb)
 
+    # base=2: the parked plan's windows are sized by the small-class
+    # r_max, which a power-law scene leaves ~2x the uniform default —
+    # the (128,256] window tail is fat (871 residual jobs at n=1e5,
+    # past the 256-job default, measured round-5) while base=2 empties
+    # it. The big passes dominate the hetero premium, so the second
+    # sweep row is cheap insurance.
     if capacity == 0:
         cnt_s, r_ok, no_ovf = slab_count_dual(
-            plan, interpret=interpret, split_ok=True)
+            plan, interpret=interpret, split_ok=True, base=2)
         tot_bs, ovf_bs = big_count_only(
             bigs_t, plan.stream, interpret=interpret)
         total = cnt_s.astype(jnp.uint32) + tot_bs + tot_bb
@@ -304,7 +322,8 @@ def _hetero_slab(coords, radii, parked, bigs_t, bidx, nb, capacity, gx,
         return None, total, gx_ok & other_ok
 
     sa, sb, tot_s, gx_ok, s_other = slab_fill_from_plan(
-        plan, capacity, interpret=interpret, dual=True, split_ok=True)
+        plan, capacity, interpret=interpret, dual=True, split_ok=True,
+        dual_base=2)
     bsa, bsb, tot_bs, ovf_bs = big_pairs(
         bigs_t, plan.stream, capacity, interpret=interpret)
     bba, bbb, bb_cap = _bb_extract(mbb, bidx, nb, capacity, interpret)

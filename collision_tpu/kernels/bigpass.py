@@ -13,17 +13,23 @@ fill.
 
 Z-window gating (round 5): the dense all-chunks-vs-all-rows pass
 measured 9.15 ms at nb=1024 x 1M — 16 tile tests per stream row, most
-provably empty. The bigs table (hetero._bigs_table) now isolates the 64
-largest radii in chunk 0 (always tested — giants reach everywhere) and
-z-sorts the rest, so each stream row (z-sorted within its slab/column)
-intersects only a contiguous run of big chunks. Two monotone envelopes
-over the z-sorted chunks — prefix-max of chunk zhi and suffix-min of
-chunk zlo — turn that run into two vector-compare + count reductions
-per row, and the chunk loop becomes ``fori(c_lo, c_end)``: typically
-1-2 windowed tiles + 1 giant tile instead of nbc. The envelopes are a
-conservative superset (the tile test stays exact), so gating never
-changes results — the same conservative-window-plus-exact-test shape as
-the slab plan (slabs.py).
+provably empty. The bigs table (hetero._bigs_table) isolates the 64
+largest radii in an always-tested giant chunk (giants reach everywhere)
+and z-sorts the rest, so each stream row (z-sorted within its
+slab/column) intersects only a contiguous run of big chunks. The run is
+resolved OUTSIDE the kernel: two monotone envelopes over the z-sorted
+chunks (prefix-max zhi / suffix-min zlo) turn each row's range into two
+vectorized ``searchsorted`` lookups at plan cost, shipped to the kernel
+as per-block SMEM tables. (A first cut computed the range in-kernel
+from per-row lane reductions — the cross-lane min/max plus
+vector-compare counts per row cost as much as the tests they saved,
+measured 11.7 ms of a 28.9 ms hetero count.) The kernel then runs the
+dynamic chunk loop once per 8-row GROUP over the union range (SMEM
+scalar min/max of the 8 row ranges), amortizing the ~380-cycle dynamic
+loop-carry overhead the rolled sweeps measured, with the 8 tile tests
+per trip statically unrolled. The envelopes are a conservative superset
+(the tile test stays exact), so gating never changes results — the same
+conservative-window-plus-exact-test shape as the slab plan (slabs.py).
 
 Dedup: the b side is the *parked* stream, so big-big pairs can never
 appear here (their stream AABBs are empty) — they are enumerated
@@ -48,42 +54,39 @@ from .stream_emit import (
 #: Stream rows per grid block.
 _RB = 256
 
+#: Rows per chunk-window group: the dynamic chunk loop runs once per
+#: group over the union of the group's row ranges, its tile tests
+#: statically unrolled across the group's rows.
+_G = 8
 
-def _envelopes(zlo, zhi, nbc):
-    """(env f32[2, L], n_always, L): monotone z-window envelopes.
 
-    Chunk 0 (giants) is excluded from the envelopes and always tested;
-    ``env[0]`` = prefix-max of the remaining chunks' zhi (monotone
-    increasing, so {c : env0[c] > zlo_row} is a suffix) and ``env[1]``
-    = suffix-min of their zlo (monotone increasing, so {c : env1[c] <
-    zhi_row} is a prefix). Pads hold +inf, contributing to neither
-    count."""
+def _row_ranges(stream, zlo, zhi, nbc, nblk):
+    """(c0 i32[nblk*_RB], c1 i32[nblk*_RB], n_always).
+
+    Absolute big-chunk index ranges [c0, c1) intersecting each stream
+    row's z extent — vectorized searchsorted against the monotone
+    envelopes of the z-sorted chunks (chunk 0 = giants, excluded and
+    always tested). Conservative superset; c1 >= c0; pad rows resolve
+    to an empty range (their zlo is +inf)."""
     n_always = 1 if nbc > 1 else nbc
     nw = nbc - n_always
-    L = max(128, -(-nw // 128) * 128)
-    env = jnp.full((2, L), jnp.inf, jnp.float32)
+    zlo_rows = jnp.min(stream[:, 2, :], axis=1)        # [Rp]
+    zhi_rows = jnp.max(stream[:, 5, :], axis=1)
     if nw:
         hi_env = jax.lax.cummax(zhi[n_always:])
         lo_env = jax.lax.cummin(zlo[n_always:][::-1])[::-1]
-        env = env.at[0, :nw].set(hi_env).at[1, :nw].set(lo_env)
-    return env, n_always, L
-
-
-def _row_range(env_ref, b8, n_always):
-    """(c0, c1): absolute big-chunk range intersecting this stream row's
-    z extent — two vector compares + count reductions against the
-    monotone envelopes. Conservative superset; c1 >= c0."""
-    zlo_row = jnp.min(b8[2:3, :])
-    zhi_row = jnp.max(b8[5:6, :])
-    c_lo = jnp.sum((env_ref[0:1, :] <= zlo_row).astype(jnp.int32))
-    c_end = jnp.sum((env_ref[1:2, :] < zhi_row).astype(jnp.int32))
-    c0 = n_always + c_lo
-    return c0, jnp.maximum(n_always + c_end, c0)
+        c0 = jnp.searchsorted(hi_env, zlo_rows, side="right")
+        c1 = jnp.searchsorted(lo_env, zhi_rows, side="left")
+        c0 = n_always + c0.astype(jnp.int32)
+        c1 = jnp.maximum(n_always + c1.astype(jnp.int32), c0)
+    else:
+        c0 = c1 = jnp.full(zlo_rows.shape, n_always, jnp.int32)
+    return c0, c1, n_always
 
 
 def _make_big_kernel(nbc, rb, capacity, direct, n_always):
-    def kernel(bigs_ref, env_ref, stream_ref, out_a, out_b, total_ref,
-               totf_ref, *scratch):
+    def kernel(bigs_ref, c0_ref, c1_ref, stream_ref, out_a, out_b,
+               total_ref, totf_ref, *scratch):
         if direct:
             cur, curf = scratch
             stag_a = stag_b = fsem = None
@@ -116,33 +119,44 @@ def _make_big_kernel(nbc, rb, capacity, direct, n_always):
         # scalar reduction; at 1M power-law, giant bigs make most rows
         # hit rows, and the row syncs + per-chunk cnt syncs measured
         # ~51 ms of the 72 ms hetero fill — exp_r4_hetero.py.)
-        def r_body(r, acc):
-            b8 = stream_ref[0, r]                      # [8, 128]
-            c0, c1 = _row_range(env_ref, b8, n_always)
+        def g_body(g, acc):
+            r0 = g * _G
+            ra = step * rb + r0
+            b8s = [stream_ref[0, r0 + u] for u in range(_G)]
+            gc0 = c0_ref[ra]
+            gc1 = c1_ref[ra]
+            for u in range(1, _G):
+                gc0 = jnp.minimum(gc0, c0_ref[ra + u])
+                gc1 = jnp.maximum(gc1, c1_ref[ra + u])
             for c in range(n_always):
-                acc = acc + tile_mask(bigs_ref[c], b8).astype(jnp.int32)
+                for u in range(_G):
+                    acc = acc + tile_mask(bigs_ref[c], b8s[u]).astype(
+                        jnp.int32)
 
             def c_body(c, a):
-                return a + tile_mask(bigs_ref[c], b8).astype(jnp.int32)
-            acc = jax.lax.fori_loop(c0, c1, c_body, acc)
+                for u in range(_G):
+                    a = a + tile_mask(bigs_ref[c], b8s[u]).astype(
+                        jnp.int32)
+                return a
+            acc = jax.lax.fori_loop(gc0, gc1, c_body, acc)
 
+            # Extraction recomputes each (row, chunk) tile and skips on
+            # its per-chunk count. The round-4 dense kernel amortized 16
+            # per-chunk scalar syncs per row behind one vector-OR
+            # prepass; gated rows test ~2-3 chunks, so the prepass costs
+            # more than the syncs it saves (a fused-OR variant spilled
+            # the 9-array carry past the 64-vreg file and measured no
+            # faster — round-5 session).
             @pl.when(emitter.remaining() > 0)
-            def _maybe_extract():
-                m_or = tile_mask(bigs_ref[0], b8)
-                for c in range(1, n_always):
-                    m_or |= tile_mask(bigs_ref[c], b8)
-                m_or = jax.lax.fori_loop(
-                    c0, c1,
-                    lambda c, m: m | tile_mask(bigs_ref[c], b8),
-                    m_or)
-                row_cnt = jnp.sum(m_or, dtype=jnp.int32)
-
-                @pl.when(row_cnt > 0)
-                def _extract_row():
+            def _extract_rows():
+                def row_extract(u, carry):
+                    b8 = b8s[u]
+                    rc0 = c0_ref[ra + u]
+                    rc1 = c1_ref[ra + u]
                     b_ids = jax.lax.bitcast_convert_type(
                         b8[6:7, :], jnp.int32)
 
-                    def chunk_extract(c, carry):
+                    def chunk_extract(c, carry2):
                         aT = bigs_ref[c]
                         m = tile_mask(aT, b8)
                         cnt = jnp.sum(m, dtype=jnp.int32)
@@ -152,18 +166,23 @@ def _make_big_kernel(nbc, rb, capacity, direct, n_always):
                         @pl.when(cnt > 0)
                         def _extract():
                             W0 = pack_mask_words(m)
-                            trip = jnp.clip(emitter.remaining(), 0, cnt)
+                            trip = jnp.clip(
+                                emitter.remaining(), 0, cnt)
                             extract_hits(W0, trip, emitter, a_ids,
                                          b_ids, lane_i, sub_c)
-                        return carry
+                        return carry2
 
                     for c in range(n_always):
                         chunk_extract(c, 0)
-                    jax.lax.fori_loop(c0, c1, chunk_extract, 0)
+                    jax.lax.fori_loop(rc0, rc1, chunk_extract, 0)
+                    return carry
+
+                for u in range(_G):
+                    row_extract(u, 0)
             return acc
 
         acc = jax.lax.fori_loop(
-            0, rb, r_body, jnp.zeros((CHUNK, LANE), jnp.int32))
+            0, rb // _G, g_body, jnp.zeros((CHUNK, LANE), jnp.int32))
         cur[2] = cur[2] + jnp.sum(acc, dtype=jnp.int32)
         curf[0] = curf[0] + jnp.sum(acc.astype(jnp.float32),
                                     dtype=jnp.float32)
@@ -175,6 +194,15 @@ def _make_big_kernel(nbc, rb, capacity, direct, n_always):
             emitter.finish()
 
     return kernel
+
+
+def _pad_stream(stream):
+    rp = stream.shape[0]
+    nblk = -(-rp // _RB)
+    if nblk * _RB != rp:
+        pad = jnp.full((nblk * _RB - rp, 8, LANE), jnp.inf, jnp.float32)
+        stream = jnp.concatenate([stream, pad], axis=0)
+    return stream, nblk
 
 
 @partial(jax.jit, static_argnames=("capacity", "interpret"))
@@ -196,15 +224,11 @@ def big_pairs(bigs, stream, capacity, interpret=False):
     """
     bigs_t, bzlo, bzhi = bigs
     nbc = bigs_t.shape[0]
-    env, n_always, _ = _envelopes(bzlo, bzhi, nbc)
     cap_pad = max(-(-int(capacity) // (2 * _FLUSH)) * (2 * _FLUSH),
                   2 * _FLUSH)
     cap_rows = cap_pad // LANE
-    rp = stream.shape[0]
-    nblk = -(-rp // _RB)
-    if nblk * _RB != rp:
-        pad = jnp.full((nblk * _RB - rp, 8, LANE), jnp.inf, jnp.float32)
-        stream = jnp.concatenate([stream, pad], axis=0)
+    stream, nblk = _pad_stream(stream)
+    c0, c1, n_always = _row_ranges(stream, bzlo, bzhi, nbc, nblk)
 
     direct = bool(interpret)
     kernel = _make_big_kernel(nbc, _RB, cap_pad, direct, n_always)
@@ -222,7 +246,8 @@ def big_pairs(bigs, stream, capacity, interpret=False):
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),             # bigs
-            pl.BlockSpec(memory_space=pltpu.VMEM),             # envelopes
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # c0
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # c1
             pl.BlockSpec((1, _RB, 8, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),             # stream
         ],
@@ -240,7 +265,7 @@ def big_pairs(bigs, stream, capacity, interpret=False):
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(bigs_t, env, stream.reshape(1, nblk * _RB, 8, LANE))
+    )(bigs_t, c0, c1, stream.reshape(1, nblk * _RB, 8, LANE))
 
     out_a = jax.lax.bitcast_convert_type(out_a, jnp.uint32)
     out_b = jax.lax.bitcast_convert_type(out_b, jnp.uint32)
@@ -253,9 +278,9 @@ def big_pairs(bigs, stream, capacity, interpret=False):
     return ida, idb, total_u, no_ovf
 
 
-def _make_big_count_kernel(nbc, rb, unroll, n_always):
-    def kernel(bigs_ref, env_ref, stream_ref, total_ref, totf_ref, cur,
-               curf):
+def _make_big_count_kernel(nbc, rb, n_always):
+    def kernel(bigs_ref, c0_ref, c1_ref, stream_ref, total_ref,
+               totf_ref, cur, curf):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -269,21 +294,29 @@ def _make_big_count_kernel(nbc, rb, unroll, n_always):
             m &= (aT[:, 5:6] > b8[2:3, :]) & (aT[:, 2:3] < b8[5:6, :])
             return m
 
-        def r_body(g, acc):
-            for u in range(unroll):
-                b8 = stream_ref[0, g * unroll + u]
-                c0, c1 = _row_range(env_ref, b8, n_always)
-                for c in range(n_always):
-                    acc += tile_mask(bigs_ref[c], b8).astype(jnp.int32)
-
-                def c_body(c, a):
-                    return a + tile_mask(bigs_ref[c], b8).astype(
+        def g_body(g, acc):
+            r0 = g * _G
+            ra = step * rb + r0
+            b8s = [stream_ref[0, r0 + u] for u in range(_G)]
+            gc0 = c0_ref[ra]
+            gc1 = c1_ref[ra]
+            for u in range(1, _G):
+                gc0 = jnp.minimum(gc0, c0_ref[ra + u])
+                gc1 = jnp.maximum(gc1, c1_ref[ra + u])
+            for c in range(n_always):
+                for u in range(_G):
+                    acc += tile_mask(bigs_ref[c], b8s[u]).astype(
                         jnp.int32)
-                acc = jax.lax.fori_loop(c0, c1, c_body, acc)
-            return acc
+
+            def c_body(c, a):
+                for u in range(_G):
+                    a = a + tile_mask(bigs_ref[c], b8s[u]).astype(
+                        jnp.int32)
+                return a
+            return jax.lax.fori_loop(gc0, gc1, c_body, acc)
 
         acc = jax.lax.fori_loop(
-            0, rb // unroll, r_body,
+            0, rb // _G, g_body,
             jnp.zeros((CHUNK, LANE), jnp.int32))
         # Per-step partial <= rb * nbc * 64 * 128 hits — far below 2^31,
         # so the int32 vector accumulator is exact per step; the f32
@@ -313,24 +346,17 @@ def big_count_only(bigs, stream, interpret=False):
     docstring); ``bigs`` is hetero._bigs_table's (rows, zlo, zhi)."""
     bigs_t, bzlo, bzhi = bigs
     nbc = bigs_t.shape[0]
-    env, n_always, _ = _envelopes(bzlo, bzhi, nbc)
-    rp = stream.shape[0]
-    nblk = -(-rp // _RB)
-    if nblk * _RB != rp:
-        pad = jnp.full((nblk * _RB - rp, 8, LANE), jnp.inf, jnp.float32)
-        stream = jnp.concatenate([stream, pad], axis=0)
+    stream, nblk = _pad_stream(stream)
+    c0, c1, n_always = _row_ranges(stream, bzlo, bzhi, nbc, nblk)
 
-    # Gating leaves ~n_always static + 1 dynamic mask temporaries per
-    # row on the Mosaic stack regardless of nbc, so the stream-read
-    # unroll no longer scales inversely with the big-chunk count.
-    unroll = 4
-    kernel = _make_big_count_kernel(nbc, _RB, unroll, n_always)
+    kernel = _make_big_count_kernel(nbc, _RB, n_always)
     total, totf = pl.pallas_call(
         kernel,
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),             # bigs
-            pl.BlockSpec(memory_space=pltpu.VMEM),             # envelopes
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # c0
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # c1
             pl.BlockSpec((1, _RB, 8, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),             # stream
         ],
@@ -345,6 +371,6 @@ def big_count_only(bigs, stream, interpret=False):
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.float32)],
         interpret=interpret,
-    )(bigs_t, env, stream.reshape(1, nblk * _RB, 8, LANE))
+    )(bigs_t, c0, c1, stream.reshape(1, nblk * _RB, 8, LANE))
     no_ovf = totf[0] < float(2 ** 31 - 2 ** 26)
     return total[0].astype(jnp.uint32), no_ovf

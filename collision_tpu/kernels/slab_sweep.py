@@ -580,34 +580,40 @@ def slab_count_guarded(plan: SlabPlan, rpw=1, interpret=False,
 
 
 def slab_count_dual(plan: SlabPlan, interpret=False, j_cap=None,
-                    split_ok=False):
-    """(count, ok) via dual dispatch: 1-row Pallas sweep + XLA residual.
+                    split_ok=False, base=1):
+    """(count, ok) via dual dispatch: ``base``-row Pallas sweep + XLA
+    residual.
 
     The static rows-per-window knob is brittle: one hot chunk whose
     window spans a second 128-lane row forces rpw=2 (2x the sweep cost)
     for the whole scene — measured at 1M, every gx from 48 to 192 has
-    at least one such window. Here the Pallas sweep always runs at one
-    rolled row with ``wcap`` clamped to 128 lanes, and the rare clipped
-    remainders are counted by :func:`~collision_tpu.slabs.residual_count`
-    — a dense vectorized pass over a compacted job list. ``ok`` is
-    False when the residual capacity (job count, or a window wider than
-    256 lanes) overflowed; callers then retry via the escalated-rpw
-    ladder. Overflow near 2^31 pairs is detected and folded in.
-    ``split_ok`` returns the two components separately as
-    (count, r_ok, no_ovf): r_ok is fixable by a finer slab grid
-    (narrower windows -> fewer/narrower residual jobs), the int32 wrap
-    guard is not — retry ladders use the split to stop escalating gx
-    on failures gx cannot fix.
+    at least one such window. Here the Pallas sweep always runs at
+    ``base`` rolled rows with ``wcap`` clamped to base*128 lanes, and
+    the clipped remainders are counted by
+    :func:`~collision_tpu.slabs.residual_count` — a dense vectorized
+    pass over a compacted job list, one job per 128-lane residual
+    segment (exact at any window width). The uniform flagship keeps
+    base=1 (its windows target ~88 lanes, the residual tail is empty);
+    the hetero engine's parked power-law plans have fat (128,256]
+    tails — 871 jobs at n=1e5, past the 256-job default — and run
+    base=2, which empties the tail instead (measured round-5). ``ok``
+    is False when the residual job capacity overflowed; callers then
+    retry via the escalated-rpw ladder. Overflow near 2^31 pairs is
+    detected and folded in. ``split_ok`` returns the two components
+    separately as (count, r_ok, no_ovf): r_ok is fixable by a finer
+    slab grid (narrower windows -> fewer/narrower residual jobs), the
+    int32 wrap guard is not — retry ladders use the split to stop
+    escalating gx on failures gx cannot fix.
     """
     from ..slabs import RESIDUAL_JOBS, residual_count
 
-    wcap_c = jnp.minimum(plan.wcap, LANE)
+    wcap_c = jnp.minimum(plan.wcap, base * LANE)
     count, count_f = _slab_count(
         plan.stream, plan.starts, plan.slab_r0, plan.w0, wcap_c,
-        plan.gx, plan.mc, plan.slab_rows, 1, interpret, UNROLL,
+        plan.gx, plan.mc, plan.slab_rows, base, interpret, UNROLL,
     )
     rcount, r_ok = residual_count(
-        plan, RESIDUAL_JOBS if j_cap is None else j_cap)
+        plan, RESIDUAL_JOBS if j_cap is None else j_cap, base=base)
     no_ovf = count_f < float(2 ** 31 - 2 ** 26)
     if split_ok:
         return count + rcount, r_ok, no_ovf

@@ -647,6 +647,59 @@ def _sweep_masks(stream, starts, slab_r0, w0_tab, wcap_tab,
 UNROLL = 4
 
 
+def column_residual_count(plan: ColumnPlan, j_cap=None, dmin=0, base=1):
+    """(count, ok) for column-plan window lanes beyond the first
+    ``base``*128 — the 5-offset analog of slabs.residual_count, via the
+    shared residual-job machinery (slabs._residual_mask_tables; the
+    column window tables share the ``(col*mc + k)*noff + off`` flat
+    layout)."""
+    from ..slabs import RESIDUAL_JOBS, _residual_mask_tables
+
+    if j_cap is None:
+        j_cap = RESIDUAL_JOBS
+    m, _, _, ok = _residual_mask_tables(
+        plan.stream, plan.starts, plan.w0.reshape(-1),
+        plan.wcap.reshape(-1), plan.mc, 5, j_cap, dmin, base=base)
+    return jnp.sum(m, dtype=jnp.int32), ok
+
+
+def default_column_j_cap(plan: ColumnPlan, base=1):
+    """Static residual-job capacity for a column dual count: at base=1
+    the reference 1M power-law plan needs ~5k jobs (~6% of its window
+    table — windows average ~110 lanes, so the >128 tail is fat); at
+    base>=2 the tail collapses and the slab default suffices. Derived
+    from static plan shapes only, so the jit signature is stable."""
+    from ..slabs import RESIDUAL_JOBS
+
+    if base >= 2:
+        return RESIDUAL_JOBS
+    T = int(np.prod(plan.w0.shape))
+    return max(RESIDUAL_JOBS, -(-T // (16 * 256)) * 256)
+
+
+def sweep_count_dual(plan: ColumnPlan, interpret=False, j_cap=None,
+                     base=1):
+    """(count, ok) — dual-dispatch column count with NO rows-per-window
+    knob: the rolled kernel runs at a static ``base`` rows per window
+    (wcap clamped to base*128 lanes) and the clipped remainders are
+    counted by the vectorized residual path (one job per 128-lane
+    segment — arbitrarily wide windows stay exact given j_cap). The
+    slab engine's round-3 trick (kernels/slab_sweep.slab_count_dual)
+    applied to the 5-offset column stencil: windows on the hetero
+    engine's parked power-law scene average ~110 lanes but their MAX
+    forced rpw=3 — the dual runs the sweep at a third of those row
+    tests. ``ok`` folds the plan capacities, the residual-job bound,
+    and the int32 guard; exact iff True (host retries otherwise,
+    exactly as for the rpw ladder)."""
+    if j_cap is None:
+        j_cap = default_column_j_cap(plan, base=base)
+    sweep_plan = plan._replace(wcap=jnp.minimum(plan.wcap, base * LANE))
+    cnt, no_wrap = sweep_count_guarded(sweep_plan, rpw=base,
+                                       interpret=interpret, rolled=True)
+    rcnt, r_ok = column_residual_count(plan, j_cap=j_cap, base=base)
+    return cnt + rcnt, plan.ok & r_ok & no_wrap
+
+
 def sweep_count(plan: ColumnPlan, rpw=2, interpret=False, rolled=False):
     """Exact pair count from a column plan.
 

@@ -125,18 +125,39 @@ def _xbits_z(gx):
 RESIDUAL_JOBS = 256
 
 
-def _residual_mask(plan: SlabPlan, j_cap, dmin):
+def _residual_mask(plan: SlabPlan, j_cap, dmin, base=1):
+    """Slab-plan residual mask — see :func:`_residual_mask_tables`."""
+    return _residual_mask_tables(
+        plan.stream, plan.starts, plan.w0.reshape(-1),
+        plan.wcap.reshape(-1), plan.mc, 2, j_cap, dmin, base=base)
+
+
+def _residual_mask_tables(stream, starts, w0f, wcf, mc, noff, j_cap,
+                          dmin, base=1):
     """Shared residual-job machinery: the [J, 256, 256] overlap mask of
     every clipped window remainder, plus the per-job id channels.
 
-    The plan's window table identifies every (chunk, offset) whose
-    window exceeds 128 lanes (rare by construction —
-    default_slab_config targets ~88-lane windows); the job list is
-    compacted to ``j_cap`` slots and each job's residual lanes
-    [w0+128, w0+wcap) are tested against its full chunk with one dense
-    vectorized compare — no Pallas, no per-job control flow. ``ok`` is
-    False when the job list or the one-residual-row bound (windows
-    wider than 256 lanes) overflowed.
+    The window table identifies every (chunk, offset) whose window
+    exceeds ``base``*128 lanes (rare by construction — the plan targets
+    ~88-lane windows); each such entry contributes one job per 128-lane
+    SEGMENT of its remainder (so arbitrarily wide windows are exact —
+    the hetero engine's parked power-law plan has 3-row windows), the
+    job list is compacted to ``j_cap`` slots, and each job's residual
+    lanes [w0+128(base+seg), w0+min(wcap, 128(base+1+seg))) are tested
+    against its full chunk with one dense vectorized compare — no
+    Pallas, no per-job control flow. ``base`` is the number of 128-lane
+    rows the paired rolled sweep already covers (1 for the slab dual
+    dispatch; the column dual can run 2 to trade sweep rows for job
+    count). ``ok`` is False when the job list overflowed.
+
+    Generic over the window-table stencil: ``noff`` is the offset count
+    (2 for the slab plan's SLAB_OFFSETS, 5 for the column plan's
+    COLUMN_OFFSETS) and the flat layout must be
+    ``(col * mc + k) * noff + off`` with ``starts`` indexed by ``col``
+    — both plan builders emit exactly this. Dedup needs no index mask
+    at dmin == 0 in either stencil: self-offset windows are clipped at
+    the chunk start (residual lanes start past the chunk), and cross
+    windows live in strictly later columns/slabs.
 
     Returns (m, a_idf, b_idf, ok): m bool[J, 256, 256]; a_idf/b_idf
     f32[J, 256] — the id channel (bit patterns) of the fetched a/b
@@ -144,29 +165,37 @@ def _residual_mask(plan: SlabPlan, j_cap, dmin):
     """
     from .ops.scan import inclusive_scan
 
-    gx, mc = plan.gx, plan.mc
-    stream, starts = plan.stream, plan.starts
-    w0f = plan.w0.reshape(-1)          # [gx*mc*2]
-    wcf = plan.wcap.reshape(-1)
     T = w0f.shape[0]
 
-    res = jnp.maximum(wcf - LANE, 0)
-    ic = inclusive_scan((res > 0).astype(jnp.int32))
+    res = jnp.maximum(wcf - base * LANE, 0)
+    nseg = -(-res // LANE)          # 128-lane residual segments
+    ic = inclusive_scan(nseg)
     nj = ic[-1]
-    ok = (nj <= j_cap) & (jnp.max(res) <= LANE)
+    ok = nj <= j_cap
 
     ordj = jnp.arange(j_cap, dtype=jnp.int32)
     sel = jnp.minimum(
         sorted_bucket_starts(ic, ordj + 1, strides=(64,)), T - 1)
     live = ordj < nj
+    # Segment index within the owning entry: jobs for entry e occupy
+    # ordinals [ic[e] - nseg[e], ic[e]).
+    seg = jnp.clip(
+        ordj - (jnp.take(ic, sel) - jnp.take(nseg, sel)), 0, None)
 
-    ck = sel // 2                       # (slab, chunk); sel % 2 = offset
+    ck = sel // noff                # (col, chunk); sel % noff = offset
     x = ck // mc
     k = ck % mc
     g0 = jnp.take(starts, x) + k * CHUNK
     aend = jnp.take(starts, x + 1)
-    w0j = jnp.take(w0f, sel)
-    wcj = jnp.where(live, jnp.take(wcf, sel), 0)
+    # Shift the job's window start to its segment: lanes
+    # [w0 + 128(base+seg), min(w0 + wcap, w0 + 128(base+1+seg))) —
+    # expressed below as [w0j + 128, w0j + wcj) with w0j pre-shifted by
+    # the base rows and the segment, so everything downstream keeps the
+    # one-segment shape.
+    shift = (base - 1 + seg) * LANE
+    w0j = jnp.take(w0f, sel) + shift
+    wcj = jnp.minimum(jnp.where(live, jnp.take(wcf, sel), 0) - shift,
+                      2 * LANE)
 
     Rp = stream.shape[0]
     arow = jnp.clip(g0 // LANE, 0, Rp - 2)
@@ -202,15 +231,16 @@ def _residual_mask(plan: SlabPlan, j_cap, dmin):
     return m, comp(a6, 6), comp(b6, 6), ok
 
 
-def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS, dmin=0):
-    """(count, ok) for window lanes beyond the first 128.
+def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS, dmin=0, base=1):
+    """(count, ok) for window lanes beyond the first ``base``*128.
 
     The dual-dispatch count runs the Pallas slab sweep at a static one
     row per window with ``wcap`` clamped to 128 lanes, then counts the
-    clipped remainders here via :func:`_residual_mask`. ``ok`` is False
-    when the job list or the one-residual-row bound overflowed; the
-    caller falls back to the escalated-rpw rolled kernel, so results
-    are never silently wrong.
+    clipped remainders here via :func:`_residual_mask` (one job per
+    128-lane residual segment, so arbitrarily wide windows are exact).
+    ``ok`` is False when the job list overflowed; the caller falls back
+    to the escalated-rpw rolled kernel, so results are never silently
+    wrong.
 
     ``dmin`` restricts residual pairs to sorted-index distance
     ``j - i > dmin`` — the diagonal count path
@@ -220,7 +250,7 @@ def residual_count(plan: SlabPlan, j_cap=RESIDUAL_JOBS, dmin=0):
     at w0 + 128 > any chunk index) and correct for cross jobs (slab
     x+1 indices always exceed slab x indices).
     """
-    m, _, _, ok = _residual_mask(plan, j_cap, dmin)
+    m, _, _, ok = _residual_mask(plan, j_cap, dmin, base=base)
     return jnp.sum(m, dtype=jnp.int32), ok
 
 
@@ -232,14 +262,15 @@ RESIDUAL_PAIRS = 4096
 
 
 def residual_pairs(plan: SlabPlan, j_cap=RESIDUAL_JOBS,
-                   p_cap=RESIDUAL_PAIRS, dmin=0, interpret=False):
+                   p_cap=RESIDUAL_PAIRS, dmin=0, interpret=False,
+                   base=1):
     """(ida[p_cap], idb[p_cap], count, ok): original-id pairs of the
     clipped window remainders — the fill-side counterpart of
     :func:`residual_count`, letting the slab mask fill run its Pallas
-    sweep at a static ONE row per window (wcap clamped to 128) with no
-    rows-per-window knob. Dead slots hold 0xFFFFFFFF; ``ok`` is False
-    when the job list, the one-residual-row bound, or ``p_cap``
-    overflowed (the result is then a correct prefix).
+    sweep at a static ``base`` rows per window (wcap clamped to
+    base*128) with no rows-per-window knob. Dead slots hold 0xFFFFFFFF;
+    ``ok`` is False when the job list or ``p_cap`` overflowed (the
+    result is then a correct prefix).
 
     Extraction is two-level sparse: hits are rare by construction (the
     plan targets ~88-lane windows), so the [J, 256, 256] mask is first
@@ -256,7 +287,7 @@ def residual_pairs(plan: SlabPlan, j_cap=RESIDUAL_JOBS,
     from .ops.scan import inclusive_scan
 
     NO_PAIR = jnp.uint32(0xFFFFFFFF)
-    m, a_idf, b_idf, ok = _residual_mask(plan, j_cap, dmin)
+    m, a_idf, b_idf, ok = _residual_mask(plan, j_cap, dmin, base=base)
     L2 = 2 * LANE
     mr = m.reshape(-1, L2)                         # [J*256, 256]
     Rm = mr.shape[0]

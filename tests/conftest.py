@@ -19,8 +19,25 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax
+import pytest
 
 # The env var alone can be overridden by externally-registered platform
 # plugins; the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the XLA CPU compiler's in-process accumulation.
+
+    A single-process full-suite run segfaults inside XLA's CPU
+    backend_compile after ~180 tests' worth of compiles (observed twice
+    on the 1-core box, both times while compiling the fill pipeline;
+    every sub-suite passes in a fresh process). Dropping the executable
+    caches between modules keeps the accumulated compiler state small;
+    modules rarely share jit signatures, so the lost cache hits are
+    negligible.
+    """
+    yield
+    jax.clear_caches()

@@ -176,6 +176,12 @@ def test_enable_compilation_cache(tmp_path):
     p = enable_compilation_cache(str(tmp_path / "xla"))
     import os
     assert os.path.isdir(p)
+    # Restore: leaving the persistent cache pointed at a pytest tmp dir
+    # makes every later >=1s compile in the suite serialize+write its
+    # executable there (observed: a zstd segfault inside
+    # put_executable_and_time mid-suite on the 1-core box).
+    import jax
+    jax.config.update("jax_compilation_cache_dir", None)
 
 
 def test_overflowed_false_in_count_only_mode():

@@ -213,3 +213,31 @@ def test_deep_rpw_dynamic_rows_parity():
            for a, b in zip(np.asarray(ida)[:int(total)],
                            np.asarray(idb)[:int(total)])}
     assert got == expected
+
+
+def test_column_dual_dispatch_bases_exact():
+    """sweep_count_dual: every base runs the rolled sweep at base rows
+    (wcap clamped) and covers the remainder with one residual job per
+    128-lane segment — exact at any window width given job capacity,
+    the round-5 hetero count path (the old one-row residual bound
+    dropped 7 of the reference scene's pairs behind ok=False)."""
+    from collision_tpu.kernels.sweep import sweep_count_dual
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    coords = rng.random((n, 3)).astype("float32")
+    r = (1.0 / np.sqrt(n)) * (rng.pareto(2.5, n) + 0.2)
+    radii = np.clip(r, 0, 0.3).astype("float32")
+    expected = len(brute_force_collisions(coords, radii))
+    plan = plan_columns(jnp.asarray(coords), jnp.asarray(radii),
+                        3, 2048, 64)
+    assert bool(plan.ok)
+    assert int(plan.rows_needed) > 2   # wide windows actually exercised
+    for base in (1, 2, 3):
+        cnt, ok = sweep_count_dual(plan, interpret=True, j_cap=2048,
+                                   base=base)
+        assert bool(ok)
+        assert int(cnt) == expected
+    # Job-list overflow stays detected (honest ok=False).
+    _, ok_tight = sweep_count_dual(plan, interpret=True, j_cap=4)
+    assert not bool(ok_tight)

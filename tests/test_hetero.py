@@ -201,3 +201,57 @@ def test_collide_auto_routes_slab_hetero(monkeypatch):
     got = {(min(a, b), max(a, b))
            for a, b in np.asarray(pairs)[:int(count)]}
     assert got == expected
+
+
+def test_route_knobs_reference_scene():
+    """Routing math regression: the 1M power-law reference scene's
+    measured stats (round-5 session) must route the hetero S-S pass to
+    the COLUMN engine at the proven gxy=26/rpw=3-class configuration —
+    the always-slab route derived gx=2118 against a physically ~35-slab
+    grid and returned ok=False garbage on the first public call."""
+    from collision_tpu import collider
+
+    knobs = collider._hetero_route_knobs(
+        1_000_000, 1024, 0.01445, 0.00124, np.array([1.0, 1.0, 1.0]))
+    assert knobs[0] == "column"
+    gxy, col_cap, slab_rows, rpw = knobs[1:]
+    assert 20 <= gxy <= 34          # cells clamped at 2*r_small
+    assert rpw >= 2                 # predicted multi-row windows
+    # A mild spread keeps the slab dual dispatch.
+    knobs_u = collider._hetero_route_knobs(
+        1_000_000, 1024, 0.0012, 0.0005, np.array([1.0, 1.0, 1.0]))
+    assert knobs_u[0] == "slab"
+    assert knobs_u[1] <= 4096
+
+
+def test_eager_gate_uses_gain_not_spread_ratio():
+    """The eager hetero gate fires on the reference scene's 3.46x
+    spread (the old r_max > 4*r_small ratio test missed it) and stays
+    off for uniform radii."""
+    from collision_tpu import collider
+
+    n = 1_000_000
+    ext = np.array([1.0, 1.0, 1.0])
+    # Reference-scene stats: uniform slab slack is hopeless (r_max
+    # 0.05 -> ~10 effective slabs) and parking gains 3.3x.
+    slack_u = collider._predicted_slab_slack(n, 0.05, 0.00137, ext)
+    assert slack_u > collider.SLAB_SLACK_MAX
+    gain = (0.00137 + 0.05) / (0.00124 + 0.01445)
+    assert gain >= collider.HETERO_GAIN_MIN
+    # Uniform scene: slack fits, no hetero.
+    slack_uni = collider._predicted_slab_slack(n, 0.001, 0.0005, ext)
+    assert slack_uni <= collider.SLAB_SLACK_MAX
+
+
+def test_slab_config_physical_gx_ceiling():
+    """default_slab_config caps the formula gx at ext/(2*r_max): the
+    plan clamps slab width there, so a larger gx only manufactures
+    empty slabs while sizing capacities for an occupancy the grid
+    cannot deliver."""
+    from collision_tpu.slabs import default_slab_config
+
+    gx, col_cap, _ = default_slab_config(
+        1_000_000, r_max=0.01445, ext=1.0)
+    assert gx <= int(1.0 / (2 * 0.01445)) + 1
+    # Capacities must be sized for the CLAMPED occupancy.
+    assert col_cap >= (1_000_000 // gx)

@@ -130,26 +130,32 @@ def test_slab_dual_dispatch_residuals():
     assert int(cnt) == len(brute_force_collisions(coords, radii))
 
 
-def test_slab_dual_dispatch_overflow_detected():
-    # Windows wider than 256 lanes exceed the one-residual-row bound:
-    # ok must come back False (the caller falls back to the rpw ladder).
+def test_slab_dual_dispatch_wide_windows_exact():
+    # Windows wider than 256 lanes used to exceed the one-residual-row
+    # bound (ok=False); multi-segment residual jobs now cover them
+    # exactly — given job capacity, the dual count must be exact with
+    # ok=True on a scene whose windows need > 2 rows.
     from collision_tpu.kernels.slab_sweep import slab_count_dual
 
     rng = np.random.RandomState(19)
     n = 1200
     coords = rng.random((n, 3)).astype("float32")
     radii = rng.uniform(0, 0.25, n).astype("float32")
+    expected = len(brute_force_collisions(coords, radii))
     plan = plan_slabs(jnp.asarray(coords), jnp.asarray(radii),
                       gx=1, col_capacity=1216, slab_rows=12)
     assert bool(plan.ok)
     need = int(plan.rows_rolled)
-    cnt, ok = slab_count_dual(plan, interpret=True)
-    if need > 2:
-        assert not bool(ok)
+    assert need > 2          # wide windows actually exercised
+    cnt, ok = slab_count_dual(plan, interpret=True, j_cap=512)
+    assert bool(ok)
+    assert int(cnt) == expected
+    # Job-list overflow is still detected.
+    _, ok_tight = slab_count_dual(plan, interpret=True, j_cap=4)
+    assert not bool(ok_tight)
     # The ladder fallback stays exact.
     rpw = next(r for r in RPW_LADDER if r >= need)
-    assert int(slab_count(plan, rpw=rpw, interpret=True)) == \
-        len(brute_force_collisions(coords, radii))
+    assert int(slab_count(plan, rpw=rpw, interpret=True)) == expected
 
 
 def test_collide_slab_interpret_parity():
@@ -298,10 +304,11 @@ def test_slab_dual_fill_residuals():
     assert got2 <= expected and len(got2) == cap2
 
 
-def test_slab_dual_fill_overflow_detected():
-    # Windows wider than 256 lanes exceed the one-residual-row bound:
-    # the dual fill must report ok=False, and the rpw-ladder fill stays
-    # exact.
+def test_slab_dual_fill_wide_windows():
+    # Windows wider than 256 lanes used to force ok=False on the dual
+    # fill; multi-segment residual jobs now cover them. The contract
+    # stays: ok=True results are exact, ok=False (e.g. residual
+    # job/pair capacity) falls back to the rpw ladder exactly.
     from collision_tpu.fill import slab_mask_fill
 
     rng = np.random.RandomState(19)
@@ -313,11 +320,16 @@ def test_slab_dual_fill_overflow_detected():
                       gx=1, col_capacity=1216, slab_rows=12)
     assert bool(plan.ok)
     need = int(plan.rows_rolled)
+    assert need > 2          # wide windows actually exercised
     cap = len(expected) + 8
-    _, _, _, ok = slab_mask_fill(
+    ida, idb, total, ok = slab_mask_fill(
         coords, radii, cap, 1, 1216, 12, interpret=True, dual=True)
-    if need > 2:
-        assert not bool(ok)
+    if bool(ok):
+        assert int(total) == len(expected)
+        got = {(min(a, b), max(a, b))
+               for a, b in zip(np.asarray(ida)[:int(total)],
+                               np.asarray(idb)[:int(total)])}
+        assert got == expected
     rpw = next(r for r in RPW_LADDER if r >= need)
     ida, idb, total, ok2 = slab_mask_fill(
         coords, radii, cap, 1, 1216, 12, rpw=rpw, interpret=True)
